@@ -1,0 +1,638 @@
+"""ReactivePlanner facade: the reference-compatible planner API over the
+batched device cycle kernel.
+
+API mirror of the reference planner (reference:
+commonroad_rp/reactive_planner.py:52-1159).  Host responsibilities are scene
+compilation, grid generation, the sampling-level escalation loop, and output
+assembly; everything per-candidate happens in the single jitted program
+``ops.cycle.evaluate_level``.  There is no multiprocessing fan-out
+(reference :1084-1111) — the candidate axis is vectorized on device
+(SURVEY.md section 2.3).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from commonroad_rp_tpu.models.cost_functions import (CostFunction,
+                                                     DefaultCostFunction)
+from commonroad_rp_tpu.models.sampling import (CandidateBatch,
+                                               FixedIntervalSampling,
+                                               PositionSampling, SamplingSpace,
+                                               TimeSampling, VelocitySampling,
+                                               sampling_space_factory)
+from commonroad_rp_tpu.models.state import InputState, ReactivePlannerState
+from commonroad_rp_tpu.models.trajectories import (BundleSummary,
+                                                   OptimalTrajectory,
+                                                   Trajectory)
+from commonroad_rp_tpu.models.state import TraceState
+from commonroad_rp_tpu.ops import collision as collision_ops
+from commonroad_rp_tpu.ops import cycle as cycle_ops
+from commonroad_rp_tpu.ops import kinematics as kin_ops
+from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
+from commonroad_rp_tpu.utils.coordinate_system import CoordinateSystem
+from commonroad_rp_tpu.utils.general import (retrieve_desired_velocity_from_pp,
+                                             shift_orientation_states)
+from commonroad_rp_tpu.utils.geometry import interpolate_angle
+from commonroad_rp_tpu.utils.scenario import Scenario
+
+logger = logging.getLogger("RP_LOGGER")
+
+_EPS = 1e-5
+
+_CONSTRAINT_ORDER = ("velocity", "acceleration", "kappa", "kappa_dot", "yaw_rate")
+
+
+class CollisionChecker:
+    """Compiled scene: road-boundary segments + obstacle source.
+
+    Equivalent of the pycrcc.CollisionChecker built at
+    reactive_planner.py:218-256; reused across cycles via reset()
+    (run_planner.py:84-86).
+    """
+
+    def __init__(self, scenario: Scenario, continuous: bool, dtype):
+        self.scenario = scenario
+        self.continuous = continuous
+        self.dtype = dtype
+        self.boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
+        self._window_cache: Dict[Tuple[int, int, int], collision_ops.ObstacleArrays] = {}
+
+    def obstacles_for_window(self, t_start: int, horizon_steps: int,
+                             factor: int) -> collision_ops.ObstacleArrays:
+        key = (t_start, horizon_steps, factor)
+        if key not in self._window_cache:
+            self._window_cache[key] = collision_ops.compile_obstacles(
+                self.scenario, t_start, horizon_steps, factor, dtype=self.dtype)
+        return self._window_cache[key]
+
+
+class ReactivePlanner:
+    """Sampling-based reactive trajectory planner (TPU-batched cycle)."""
+
+    def __init__(self, config: ReactivePlannerConfiguration):
+        # horizon variables (reactive_planner.py:63-65)
+        self.dt: float = config.planning.dt
+        self.N: int = config.planning.time_steps_computation
+        self.horizon: float = config.planning.dt * config.planning.time_steps_computation
+
+        self.vehicle_params = config.vehicle
+        self._dtype = jnp.float64 if config.debug.kernel_dtype == "float64" \
+            else jnp.float32
+
+        # planner initial states (cartesian + curvilinear)
+        self.x_0: Optional[ReactivePlannerState] = None
+        self.x_0_cl: Optional[Tuple[List, List]] = None
+
+        self._co: Optional[CoordinateSystem] = None
+        self._cc: Optional[CollisionChecker] = None
+
+        # statistics (reactive_planner.py:79-88)
+        self._infeasible_count_collision: int = 0
+        self._infeasible_count_kinematics: int = 0
+        self._infeasible_reason_dict: Dict[str, int] = {}
+        self._optimal_cost: float = 0.0
+        self._planning_times_list: List[float] = []
+        self._record_state_list: List[ReactivePlannerState] = []
+        self._record_input_list: List[InputState] = []
+        self.stored_trajectories: Optional[BundleSummary] = None
+
+        self._desired_speed: Optional[float] = None
+        self._desired_lon_position: Optional[float] = None
+        self._low_vel_mode = False
+
+        self._draw_traj_set = config.debug.draw_traj_set and \
+            (config.debug.show_plots or config.debug.save_plots)
+
+        self.config: Optional[ReactivePlannerConfiguration] = None
+        self.reset(config)
+
+        self.sampling_space: Optional[SamplingSpace] = None
+        self.set_sampling_space()
+        self.sampling_level = config.sampling.num_sampling_levels
+
+        self.cost_function: Optional[CostFunction] = None
+        self.set_cost_function()
+
+        self._standstill_lookahead = config.planning.standstill_lookahead
+
+    # ------------------------------------------------------------------
+    # properties (reactive_planner.py:115-160)
+    # ------------------------------------------------------------------
+
+    @property
+    def collision_checker(self) -> CollisionChecker:
+        return self._cc
+
+    @property
+    def coordinate_system(self) -> CoordinateSystem:
+        return self._co
+
+    @property
+    def reference_path(self) -> np.ndarray:
+        return self._co.reference
+
+    @property
+    def infeasible_count_collision(self) -> int:
+        return self._infeasible_count_collision
+
+    @property
+    def infeasible_count_kinematics(self) -> int:
+        return self._infeasible_count_kinematics
+
+    @property
+    def infeasible_reason_dict(self) -> dict:
+        return self._infeasible_reason_dict
+
+    @property
+    def optimal_cost(self) -> float:
+        return self._optimal_cost
+
+    @property
+    def planning_times(self) -> List[float]:
+        return self._planning_times_list
+
+    @property
+    def record_state_list(self) -> List[ReactivePlannerState]:
+        return self._record_state_list
+
+    @property
+    def record_input_list(self) -> List[InputState]:
+        return self._record_input_list
+
+    # ------------------------------------------------------------------
+    # setup / reset
+    # ------------------------------------------------------------------
+
+    def goal_reached(self) -> bool:
+        """Initial state within the goal region (reactive_planner.py:162-170)."""
+        x_0_shifted = self.x_0.shift_positions_to_center(self.vehicle_params.wb_rear_axle)
+        if self.config.planning_problem.goal.is_reached(x_0_shifted):
+            logger.info("Goal of planning problem reached")
+            return True
+        return False
+
+    def reset(self, config: ReactivePlannerConfiguration = None,
+              initial_state_cart: ReactivePlannerState = None,
+              initial_state_curv: Tuple[List, List] = None,
+              collision_checker: CollisionChecker = None,
+              coordinate_system: CoordinateSystem = None):
+        """Re-initialize for replanning (reactive_planner.py:172-216)."""
+        if config is not None:
+            self.config = config
+        else:
+            assert self.config is not None, \
+                "<ReactivePlanner.reset(). No Configuration object provided>"
+
+        self._reset_statistics()
+
+        if collision_checker is None:
+            self.set_collision_checker(scenario=self.config.scenario)
+        else:
+            self.set_collision_checker(collision_checker=collision_checker)
+
+        if coordinate_system is not None:
+            self.set_reference_path(coordinate_system=coordinate_system)
+
+        if self.x_0 is None and initial_state_cart is None:
+            if self.config.planning_problem:
+                self.x_0 = ReactivePlannerState.create_from_initial_state(
+                    self.config.planning_problem.initial_state,
+                    self.vehicle_params.wheelbase, self.vehicle_params.wb_rear_axle)
+            else:
+                self.x_0 = None
+        else:
+            self.x_0 = initial_state_cart if initial_state_cart is not None else self.x_0
+
+        self.x_0_cl = initial_state_curv if initial_state_curv is not None \
+            else self._compute_initial_states(self.x_0)
+
+    def set_collision_checker(self, scenario: Scenario = None,
+                              collision_checker: CollisionChecker = None):
+        """Compile or adopt the scene (reactive_planner.py:218-256)."""
+        if collision_checker is None:
+            assert scenario is not None, \
+                "<ReactivePlanner.set_collision_checker>: provide a scenario OR a checker"
+            self._cc = CollisionChecker(
+                scenario, self.config.planning.continuous_collision_check,
+                self._dtype)
+        else:
+            assert scenario is None, \
+                "<ReactivePlanner.set_collision_checker>: provide a scenario OR a checker"
+            self._cc = collision_checker
+
+    def set_reference_path(self, reference_path: np.ndarray = None,
+                           coordinate_system: CoordinateSystem = None):
+        """Build or adopt the curvilinear frame (reactive_planner.py:258-272)."""
+        if coordinate_system is None:
+            assert reference_path is not None, \
+                "<set reference path>: provide a reference path OR a CoordinateSystem"
+            self._co = CoordinateSystem(reference_path, dtype=self._dtype)
+        else:
+            assert reference_path is None, \
+                "<set reference path>: provide a reference path OR a CoordinateSystem"
+            self._co = coordinate_system
+
+    # sampling-parameter setters (reactive_planner.py:274-307)
+
+    def set_t_sampling_parameters(self, t_min):
+        self.sampling_space.samples_t = TimeSampling(t_min, self.horizon,
+                                                     self.sampling_level, self.dt)
+
+    def set_d_sampling_parameters(self, delta_d_min, delta_d_max):
+        self.sampling_space.samples_d = PositionSampling(delta_d_min, delta_d_max,
+                                                         self.sampling_level)
+
+    def set_v_sampling_parameters(self, v_min, v_max):
+        self.sampling_space.samples_v = VelocitySampling(v_min, v_max,
+                                                         self.sampling_level)
+
+    def set_s_sampling_parameters(self, s_min, s_max):
+        self.sampling_space.samples_s = PositionSampling(s_min, s_max,
+                                                         self.sampling_level)
+
+    def set_desired_velocity(self, desired_velocity: float = None,
+                             current_speed: float = None, stopping: bool = False):
+        """Velocity target + sampled interval (reactive_planner.py:309-347)."""
+        self._desired_lon_position = None
+        if desired_velocity is None and self._desired_speed is None:
+            self._desired_speed = retrieve_desired_velocity_from_pp(
+                self.config.planning_problem)
+        else:
+            self._desired_speed = desired_velocity if desired_velocity is not None \
+                else self._desired_speed
+        assert self._desired_speed >= 0.0, \
+            f"<ReactivePlanner.set_desired_velocity(): desired speed has to be " \
+            f"positive. Provided speed{self._desired_speed}>"
+
+        if not stopping:
+            reference_speed = current_speed if current_speed is not None \
+                else self._desired_speed
+            min_v = max(0, reference_speed - (0.125 * self.horizon *
+                                              self.vehicle_params.a_max))
+            max_v = max(min_v + 5.0, reference_speed + 2)
+            self.set_v_sampling_parameters(min_v, max_v)
+        else:
+            self.set_v_sampling_parameters(self._desired_speed, self._desired_speed)
+
+        if hasattr(self.cost_function, "desired_speed"):
+            self.cost_function.desired_speed = self._desired_speed
+        if hasattr(self.cost_function, "w_a"):
+            self.cost_function.w_a = 5
+        if hasattr(self.cost_function, "desired_s"):
+            self.cost_function.desired_s = self._desired_lon_position
+
+    def set_desired_lon_position(self, lon_position: float,
+                                 delta_s_min: Optional[float] = None,
+                                 delta_s_max: Optional[float] = None):
+        """Stop-position target (reactive_planner.py:349-376)."""
+        self._desired_lon_position = lon_position
+        self._desired_speed = 0.0
+        if delta_s_min is None and delta_s_max is None:
+            delta_s_min = self.config.sampling.s_min
+            delta_s_max = self.config.sampling.s_max
+        self.set_s_sampling_parameters(lon_position + delta_s_min,
+                                       lon_position + delta_s_max)
+        if hasattr(self.cost_function, "desired_s"):
+            self.cost_function.desired_s = self._desired_lon_position
+        if hasattr(self.cost_function, "desired_speed"):
+            self.cost_function.desired_speed = self._desired_speed
+        if hasattr(self.cost_function, "w_a"):
+            self.cost_function.w_a = 1
+
+    def set_cost_function(self, cost_function: CostFunction = None):
+        if cost_function:
+            self.cost_function = cost_function
+        else:
+            self.cost_function = DefaultCostFunction(
+                self._desired_speed, desired_d=0.0,
+                desired_s=self._desired_lon_position)
+
+    def set_sampling_space(self, sampling_space: SamplingSpace = None):
+        if sampling_space:
+            self.sampling_space = sampling_space
+        else:
+            self.sampling_space = sampling_space_factory(self.config)
+
+    def record_state_and_input(self, state: ReactivePlannerState):
+        """Append state + derived control input (reactive_planner.py:391-408)."""
+        self._record_state_list.append(state)
+        if len(self._record_state_list) > 1:
+            steering_angle_speed = (state.steering_angle -
+                                    self._record_state_list[-2].steering_angle) / self.dt
+        else:
+            steering_angle_speed = 0.0
+        self._record_input_list.append(InputState(
+            time_step=state.time_step, acceleration=state.acceleration,
+            steering_angle_speed=steering_angle_speed))
+
+    def _reset_statistics(self):
+        """(reactive_planner.py:410-419)"""
+        self._optimal_cost = 0
+        self._infeasible_count_kinematics = 0
+        self._infeasible_count_collision = 0
+        for constraint in self.config.planning.constraints_to_check:
+            self._infeasible_reason_dict[constraint] = 0
+
+    # ------------------------------------------------------------------
+    # initial-state transform (reactive_planner.py:446-512)
+    # ------------------------------------------------------------------
+
+    def _compute_initial_states(self, x_0: ReactivePlannerState):
+        """Cartesian -> curvilinear initial state (Werling Eqs. A.3/A.5)."""
+        if not self._co:
+            return None
+        try:
+            s, d = self._co.convert_to_curvilinear_coords(
+                x_0.position[0], x_0.position[1])
+        except ValueError:
+            logger.critical("Initial state could not be transformed.")
+            raise ValueError("Initial state could not be transformed.")
+
+        ref_pos = self._co.ref_pos
+        s_idx = int(np.argmax(ref_pos > s)) - 1
+        s_lambda = (s - ref_pos[s_idx]) / (ref_pos[s_idx + 1] - ref_pos[s_idx])
+
+        ref_theta = np.unwrap(self._co.ref_theta)
+        theta_cl = x_0.orientation - interpolate_angle(
+            s, ref_pos[s_idx], ref_pos[s_idx + 1],
+            ref_theta[s_idx], ref_theta[s_idx + 1])
+
+        kr = (self._co.ref_curv[s_idx + 1] - self._co.ref_curv[s_idx]) * s_lambda \
+            + self._co.ref_curv[s_idx]
+        kr_d = (self._co.ref_curv_d[s_idx + 1] - self._co.ref_curv_d[s_idx]) \
+            * s_lambda + self._co.ref_curv_d[s_idx]
+
+        kappa_0 = np.tan(x_0.steering_angle) / self.vehicle_params.wheelbase
+
+        d_p = (1 - kr * d) * np.tan(theta_cl)
+        d_pp = -(kr_d * d + kr * d_p) * np.tan(theta_cl) + \
+            ((1 - kr * d) / (math.cos(theta_cl) ** 2)) * \
+            (kappa_0 * (1 - kr * d) / math.cos(theta_cl) - kr)
+
+        s_velocity = x_0.velocity * math.cos(theta_cl) / (1 - kr * d)
+        if s_velocity < 0:
+            raise Exception(
+                "Initial state or reference incorrect! Curvilinear velocity is "
+                "negative which indicates that the ego vehicle is not driving in "
+                "the same direction as specified by the reference")
+
+        s_acceleration = x_0.acceleration
+        s_acceleration -= (s_velocity ** 2 / math.cos(theta_cl)) * (
+            (1 - kr * d) * np.tan(theta_cl) *
+            (kappa_0 * (1 - kr * d) / (math.cos(theta_cl)) - kr) -
+            (kr_d * d + kr * d_p))
+        s_acceleration /= ((1 - kr * d) / (math.cos(theta_cl)))
+
+        if self._low_vel_mode:
+            d_velocity = d_p
+            d_acceleration = d_pp
+        else:
+            d_velocity = x_0.velocity * math.sin(theta_cl)
+            d_acceleration = s_acceleration * d_p + s_velocity ** 2 * d_pp
+
+        return [s, s_velocity, s_acceleration], [d, d_velocity, d_acceleration]
+
+    # ------------------------------------------------------------------
+    # planning cycle (reactive_planner.py:570-665)
+    # ------------------------------------------------------------------
+
+    def plan(self, current_sampling_level: int = None) -> Optional[tuple]:
+        """Plan an optimal trajectory; returns
+        (cartesian Trajectory, curvilinear Trajectory, lon list, lat list)."""
+        planning_start_time = time.time()
+
+        assert self.x_0 is not None, \
+            "<ReactivePlanner.plan(): Planner Cartesian initial state is empty!>"
+        assert self._co is not None, \
+            "<ReactivePlanner.plan(): No coordinate system given. Call set_reference_path()>"
+        if not self.x_0_cl:
+            self.x_0_cl = self._compute_initial_states(self.x_0)
+        assert self.x_0_cl is not None, \
+            "<ReactivePlanner.plan(): Planner curvilinear initial state is empty!>"
+
+        x_0_lon, x_0_lat = self.x_0_cl
+        self._low_vel_mode = \
+            self.x_0.velocity < self.config.planning.low_vel_mode_threshold
+
+        logger.info("=== Starting Planning Cycle (time_step=%s, v=%.3f) ===",
+                    self.x_0.time_step, self.x_0.velocity)
+
+        optimal_trajectory: Optional[OptimalTrajectory] = None
+        bundle_stats = None
+        i = 1 if current_sampling_level is None else current_sampling_level
+
+        while optimal_trajectory is None and i < self.sampling_level:
+            batch = self.sampling_space.generate_trajectories_at_level(
+                i, np.asarray(x_0_lon), np.asarray(x_0_lat),
+                self.config.sampling.longitudinal_mode, self._low_vel_mode)
+            logger.info("Sampling level %d/%d: %d candidates", i + 1,
+                        self.sampling_level, batch.size)
+            optimal_trajectory, bundle_stats = self._get_optimal_trajectory(batch)
+            logger.info("Rejected %d kinematically infeasible, %d colliding",
+                        self._infeasible_count_kinematics,
+                        self._infeasible_count_collision)
+            if current_sampling_level is not None:
+                break
+            i += 1
+
+        # standstill fallback (reactive_planner.py:638-653)
+        if ((optimal_trajectory is None or
+             optimal_trajectory.cartesian.v[self._standstill_lookahead] <= 0.05)
+                and self.x_0.velocity <= 0.05):
+            logger.info("Planning standstill for the current scenario")
+            optimal_trajectory = self._compute_standstill_trajectory()
+
+        if optimal_trajectory is not None:
+            self._optimal_cost = optimal_trajectory.cost
+            if bundle_stats is not None and bundle_stats["cost_span"] > 0:
+                logger.info("Found optimal trajectory with costs = %.3f (%.3f of "
+                            "seen costs)", self._optimal_cost,
+                            (self._optimal_cost - bundle_stats["cost_min"]) /
+                            bundle_stats["cost_span"])
+
+        planning_result = self._compute_trajectory_pair(optimal_trajectory) \
+            if optimal_trajectory is not None else None
+
+        self._planning_times_list.append(time.time() - planning_start_time)
+        logger.info("Total planning time: %.7f", self._planning_times_list[-1])
+        if planning_result is None:
+            logger.warning("Planner failed to find an optimal trajectory "
+                           "with given sampling configuration!")
+        return planning_result
+
+    def _get_optimal_trajectory(self, batch: CandidateBatch):
+        """One level through the device program (replaces
+        reactive_planner.py:1065-1136)."""
+        self._reset_statistics()
+        dtype = self._dtype
+
+        # goal_valid: filter_goals_behind in stopping mode (:1076-1077)
+        if self.config.sampling.longitudinal_mode == "stopping":
+            goal_valid = np.where(np.isnan(batch.lon_xd_pos), True,
+                                  batch.lon_x0_pos < batch.lon_xd_pos)
+        else:
+            goal_valid = np.ones(batch.size, dtype=bool)
+
+        veh = self._vehicle_arrays()
+        obstacles = self._cc.obstacles_for_window(
+            self.x_0.time_step, self.N, self.config.planning.factor)
+        boundary = self._cc.boundary
+        use_boundary = bool(boundary.segments.shape[0] > 0)
+
+        constraints = self.config.planning.constraints_to_check
+        flags = tuple(c in constraints for c in _CONSTRAINT_ORDER)
+
+        cf = self.cost_function
+        cost_params = cycle_ops.CostParams(
+            w_a=jnp.asarray(getattr(cf, "w_a", 0.0), dtype),
+            desired_d=jnp.asarray(getattr(cf, "desired_d", 0.0), dtype),
+            desired_speed=jnp.asarray(
+                getattr(cf, "desired_speed", None) or 0.0, dtype),
+            desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
+
+        t0 = time.time()
+        result = cycle_ops.evaluate_level(
+            jnp.asarray(batch.coeffs_lon, dtype), jnp.asarray(batch.coeffs_lat, dtype),
+            jnp.asarray(batch.traj_len), jnp.asarray(goal_valid),
+            self._co.tables, veh, obstacles,
+            boundary if use_boundary else None,
+            jnp.asarray(self.x_0.orientation, dtype), cost_params,
+            dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
+            cost_structure=cf.structure, constraint_flags=flags,
+            use_boundary=use_boundary)
+
+        found = bool(result.found)
+        feasible = np.asarray(result.feasible)
+        collides = np.asarray(result.collides)
+        reasons = np.asarray(result.reason)
+        costs = np.asarray(result.costs)
+        logger.info("Device cycle evaluation took \t%.7fs", time.time() - t0)
+
+        # statistics with reference lazy-iteration semantics
+        self._infeasible_count_kinematics = int(result.n_infeasible_kinematics)
+        self._infeasible_count_collision = int(result.n_collision_before_best)
+        for code, name in kin_ops.REASON_NAMES.items():
+            if name in self._infeasible_reason_dict:
+                self._infeasible_reason_dict[name] += int(
+                    np.sum((reasons == code) & ~feasible))
+
+        if self._draw_traj_set:
+            self.stored_trajectories = BundleSummary(
+                x=np.asarray(result.rollout.x), y=np.asarray(result.rollout.y),
+                costs=costs, feasible=feasible, collides=collides)
+
+        feas_costs = costs[feasible]
+        bundle_stats = {
+            "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
+            "cost_span": float(feas_costs.max() - feas_costs.min())
+            if feas_costs.size else 0.0,
+        }
+        if not found:
+            return None, bundle_stats
+
+        idx = int(result.best_idx)
+        arrays = {k: np.asarray(v) for k, v in
+                  cycle_ops.gather_candidate(result.rollout,
+                                             result.best_idx).items()}
+        optimal = OptimalTrajectory(arrays=arrays, cost=float(result.best_cost),
+                                    dt=self.dt, horizon=self.horizon)
+        logger.debug("Selected candidate %d with cost %.3f", idx, optimal.cost)
+        return optimal, bundle_stats
+
+    def _vehicle_arrays(self) -> kin_ops.VehicleArrays:
+        v = self.vehicle_params
+        d = self._dtype
+        return kin_ops.VehicleArrays(
+            wheelbase=jnp.asarray(v.wheelbase, d),
+            wb_rear_axle=jnp.asarray(v.wb_rear_axle, d),
+            a_max=jnp.asarray(v.a_max, d), v_switch=jnp.asarray(v.v_switch, d),
+            kappa_max=jnp.asarray(np.tan(v.delta_max) / v.wheelbase, d),
+            v_delta_max=jnp.asarray(v.v_delta_max, d),
+            half_length=jnp.asarray(0.5 * v.length, d),
+            half_width=jnp.asarray(0.5 * v.width, d))
+
+    # ------------------------------------------------------------------
+    # standstill fallback (reactive_planner.py:667-713)
+    # ------------------------------------------------------------------
+
+    def _compute_standstill_trajectory(self) -> OptimalTrajectory:
+        x_0 = self.x_0
+        x_0_lon, x_0_lat = self.x_0_cl
+        N = self.N
+
+        kappa_0 = np.tan(x_0.steering_angle) / self.vehicle_params.wheelbase
+
+        a = np.repeat(0.0, N)
+        a[1] = -self.x_0.velocity / self.dt
+
+        ref_pos = self._co.ref_pos
+        s_idx = int(np.argmax(ref_pos > x_0_lon[0])) - 1
+        ref_theta = np.unwrap(self._co.ref_theta)
+        theta_cl = x_0.orientation - interpolate_angle(
+            x_0_lon[0], ref_pos[s_idx], ref_pos[s_idx + 1],
+            ref_theta[s_idx], ref_theta[s_idx + 1])
+
+        rep = lambda val: np.repeat(float(val), N)
+        arrays = dict(
+            x=rep(x_0.position[0]), y=rep(x_0.position[1]),
+            theta_gl=rep(x_0.orientation), v=rep(0.0), a=a,
+            kappa_gl=rep(kappa_0), kappa_dot=rep(0.0),
+            s=rep(x_0_lon[0]), s_dot=rep(x_0_lon[1]), s_ddot=rep(x_0_lon[2]),
+            d=rep(x_0_lat[0]), d_dot=rep(x_0_lat[1]), d_ddot=rep(x_0_lat[2]),
+            theta_cl=rep(theta_cl))
+        return OptimalTrajectory(arrays=arrays, cost=0.0, dt=self.dt,
+                                 horizon=self.horizon)
+
+    # ------------------------------------------------------------------
+    # output assembly (reactive_planner.py:514-568)
+    # ------------------------------------------------------------------
+
+    def _compute_trajectory_pair(self, trajectory: OptimalTrajectory
+                                 ) -> Tuple[Trajectory, Trajectory, List, List]:
+        arr = trajectory.arrays
+        cart_list, cl_list, lon_list, lat_list = [], [], [], []
+        scaling_factor = self.config.planning.factor
+        length = len(arr["x"])
+        for i in range(length):
+            yaw_rate = (arr["theta_gl"][i] - arr["theta_gl"][i - 1]) / self.dt \
+                if i > 0 else self.x_0.yaw_rate
+            cart_list.append(ReactivePlannerState(
+                time_step=self.x_0.time_step + scaling_factor * i,
+                position=np.array([arr["x"][i], arr["y"][i]]),
+                orientation=arr["theta_gl"][i], velocity=arr["v"][i],
+                acceleration=arr["a"][i], yaw_rate=yaw_rate,
+                steering_angle=np.arctan2(
+                    self.vehicle_params.wheelbase * arr["kappa_gl"][i], 1.0)))
+            cl_list.append(TraceState(
+                time_step=self.x_0.time_step + scaling_factor * i,
+                position=np.array([arr["s"][i], arr["d"][i]]),
+                velocity=arr["v"][i], acceleration=arr["a"][i],
+                orientation=arr["theta_gl"][i], yaw_rate=arr["kappa_gl"][i]))
+            lon_list.append([arr["s"][i], arr["s_dot"][i], arr["s_ddot"][i]])
+            lat_list.append([arr["d"][i], arr["d_dot"][i], arr["d_ddot"][i]])
+
+        cart_traj = Trajectory(self.x_0.time_step, cart_list)
+        cl_traj = Trajectory(self.x_0.time_step, cl_list)
+        # wrap output orientations around x_0 (reactive_planner.py:565-566)
+        shift_orientation_states(cart_traj.state_list,
+                                 interval_start=self.x_0.orientation - np.pi,
+                                 interval_end=self.x_0.orientation + np.pi)
+        return cart_traj, cl_traj, lon_list, lat_list
+
+    def convert_state_list_to_commonroad_object(self, state_list, obstacle_id: int = 42):
+        """Planner output -> dynamic-obstacle prediction
+        (reactive_planner.py:1138-1159)."""
+        from commonroad_rp_tpu.utils.scenario import (DynamicObstacle,
+                                                      Rectangle)
+        shifted = [s.shift_positions_to_center(self.vehicle_params.wb_rear_axle)
+                   for s in state_list]
+        shape = Rectangle(self.vehicle_params.length, self.vehicle_params.width)
+        return DynamicObstacle(obstacle_id, "car", shape, shifted[0],
+                               trajectory=shifted)

@@ -1,0 +1,261 @@
+"""Batched collision checking: OBB obstacles + road-boundary segments.
+
+TPU-native replacement for the C++ ``pycrcc`` collision pipeline
+(reference: reactive_planner.py:218-256 scene construction,
+:1019-1063 per-pose RectOBB + TimeVariantCollisionObject collide() calls).
+The scene is compiled once on the host into dense arrays — obstacle pose
+tables [M, T, 5] with validity masks and road-boundary segments [B, 4] —
+and the per-cycle check is a single vectorized separating-axis program over
+[K candidates x T steps x M obstacles] plus [K x T x B] segment tests.
+
+The reference checks collisions lazily in cost-sorted order and stops at the
+first non-colliding candidate (:1031-1062); the dense equivalent computes the
+full mask and the planner derives both the selected candidate and the
+"colliding candidates visited before the winner" statistic from it
+(SURVEY.md section 7: selection semantics, not control flow).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from commonroad_rp_tpu.utils.scenario import (Circle, Polygon, Rectangle,
+                                              Scenario)
+
+
+class ObstacleArrays(NamedTuple):
+    """Dense obstacle occupancy tables, device-resident.
+
+    pose: [M, T, 3]  (center x, center y, orientation)
+    half_ext: [M, 2] (half length, half width)
+    valid: [M, T]    occupancy exists at that scenario time step
+    """
+
+    pose: jnp.ndarray
+    half_ext: jnp.ndarray
+    valid: jnp.ndarray
+
+
+class BoundaryArrays(NamedTuple):
+    """Road-boundary segments [B, 2, 2] ((x1,y1),(x2,y2)) + validity [B]."""
+
+    segments: jnp.ndarray
+    valid: jnp.ndarray
+
+
+# ---------------------------------------------------------------------------
+# host-side scene compilation
+# ---------------------------------------------------------------------------
+
+def _shape_as_obb(shape) -> Tuple[float, float]:
+    """Half extents of an obstacle shape as an OBB over-approximation."""
+    if isinstance(shape, Rectangle):
+        return 0.5 * shape.length, 0.5 * shape.width
+    if isinstance(shape, Circle):
+        return shape.radius, shape.radius
+    if isinstance(shape, Polygon):
+        mins = shape.points.min(axis=0)
+        maxs = shape.points.max(axis=0)
+        return 0.5 * float(maxs[0] - mins[0]), 0.5 * float(maxs[1] - mins[1])
+    raise ValueError(f"unsupported obstacle shape {type(shape)}")
+
+
+def compile_obstacles(scenario: Scenario, t_start: int, horizon_steps: int,
+                      factor: int = 1, dtype=jnp.float64) -> ObstacleArrays:
+    """Flatten scenario obstacles into [M, T] pose tables for one cycle window.
+
+    Plays the role of create_collision_object per obstacle
+    (reactive_planner.py:235-245): static obstacles occupy every step; dynamic
+    obstacles occupy the steps covered by their trajectory prediction (no
+    occupancy -> no collision, matching pycrcc time-variant semantics).
+    Queried ego step i corresponds to scenario step t_start + i * factor
+    (:1040).
+    """
+    T = horizon_steps + 1
+    rows_pose: List[np.ndarray] = []
+    rows_ext: List[Tuple[float, float]] = []
+    rows_valid: List[np.ndarray] = []
+
+    for obstacle in scenario.static_obstacles:
+        state = obstacle.initial_state
+        center = np.asarray(state.position, dtype=np.float64)
+        theta = float(state.orientation or 0.0)
+        # rectangle shapes may carry their own center offset/orientation
+        if isinstance(obstacle.shape, Rectangle) and np.any(obstacle.shape.center):
+            center = center + obstacle.shape.center
+            theta = theta + obstacle.shape.orientation
+        pose = np.tile(np.array([center[0], center[1], theta]), (T, 1))
+        rows_pose.append(pose)
+        rows_ext.append(_shape_as_obb(obstacle.shape))
+        rows_valid.append(np.ones(T, dtype=bool))
+
+    for obstacle in scenario.dynamic_obstacles:
+        pose = np.zeros((T, 3))
+        valid = np.zeros(T, dtype=bool)
+        for i in range(T):
+            state = obstacle.state_at_time(t_start + i * factor)
+            if state is not None and state.position is not None:
+                pose[i] = [state.position[0], state.position[1],
+                           float(state.orientation or 0.0)]
+                valid[i] = True
+        rows_pose.append(pose)
+        rows_ext.append(_shape_as_obb(obstacle.shape))
+        rows_valid.append(valid)
+
+    if not rows_pose:
+        return ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype=dtype),
+                              half_ext=jnp.zeros((0, 2), dtype=dtype),
+                              valid=jnp.zeros((0, T), dtype=bool))
+    return ObstacleArrays(pose=jnp.asarray(np.stack(rows_pose), dtype=dtype),
+                          half_ext=jnp.asarray(np.array(rows_ext), dtype=dtype),
+                          valid=jnp.asarray(np.stack(rows_valid)))
+
+
+def compile_road_boundary(scenario: Scenario, dtype=jnp.float64) -> BoundaryArrays:
+    """Extract the outer boundary of the drivable area as segment arrays.
+
+    Equivalent of create_road_boundary_obstacle (reactive_planner.py:246-248),
+    which triangulates the lanelet-network complement in C++.  Here the
+    boundary is derived from lanelet topology: a lanelet's left/right bound is
+    a road boundary wherever no same-direction or opposite adjacent lanelet
+    shares it; crossing such a segment is leaving the road.
+    """
+    segments: List[np.ndarray] = []
+    for lanelet in scenario.lanelet_network.lanelets:
+        if lanelet.adj_left is None:
+            pts = lanelet.left_vertices
+            segments.extend(np.stack([pts[:-1], pts[1:]], axis=1))
+        if lanelet.adj_right is None:
+            pts = lanelet.right_vertices
+            segments.extend(np.stack([pts[:-1], pts[1:]], axis=1))
+    if not segments:
+        return BoundaryArrays(segments=jnp.zeros((0, 2, 2), dtype=dtype),
+                              valid=jnp.zeros((0,), dtype=bool))
+    seg = np.stack(segments)
+    return BoundaryArrays(segments=jnp.asarray(seg, dtype=dtype),
+                          valid=jnp.ones(len(seg), dtype=bool))
+
+
+def pad_obstacles(obstacles: ObstacleArrays, m_max: int) -> ObstacleArrays:
+    """Pad the obstacle axis to a fixed size (invalid rows) for static shapes."""
+    M, T, _ = obstacles.pose.shape
+    if M == m_max:
+        return obstacles
+    assert M < m_max, f"more obstacles ({M}) than padding target ({m_max})"
+    pad = m_max - M
+    return ObstacleArrays(
+        pose=jnp.concatenate([obstacles.pose,
+                              jnp.zeros((pad, T, 3), obstacles.pose.dtype)]),
+        half_ext=jnp.concatenate([obstacles.half_ext,
+                                  jnp.ones((pad, 2), obstacles.half_ext.dtype)]),
+        valid=jnp.concatenate([obstacles.valid, jnp.zeros((pad, T), dtype=bool)]))
+
+
+# ---------------------------------------------------------------------------
+# device kernels
+# ---------------------------------------------------------------------------
+
+def _obb_axes(theta: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Unit axes (major, minor) of an OBB with orientation theta [..., 2]."""
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    major = jnp.stack([c, s], axis=-1)
+    minor = jnp.stack([-s, c], axis=-1)
+    return major, minor
+
+
+def _project_radius(axis: jnp.ndarray, major: jnp.ndarray, minor: jnp.ndarray,
+                    half_ext: jnp.ndarray) -> jnp.ndarray:
+    """Projection radius of an OBB onto a unit axis."""
+    return (half_ext[..., 0] * jnp.abs(jnp.sum(axis * major, axis=-1)) +
+            half_ext[..., 1] * jnp.abs(jnp.sum(axis * minor, axis=-1)))
+
+
+def obb_overlap(center_a, theta_a, half_a, center_b, theta_b, half_b) -> jnp.ndarray:
+    """Separating-axis OBB-OBB overlap test; broadcasts over leading dims.
+
+    Batched equivalent of pycrcc.RectOBB vs RectOBB collide()
+    (reactive_planner.py:1041-1042).
+    """
+    maj_a, min_a = _obb_axes(theta_a)
+    maj_b, min_b = _obb_axes(theta_b)
+    delta = center_b - center_a
+
+    overlap = jnp.ones(delta.shape[:-1], dtype=bool)
+    for axis in (maj_a, min_a, maj_b, min_b):
+        dist = jnp.abs(jnp.sum(delta * axis, axis=-1))
+        r_a = _project_radius(axis, maj_a, min_a, half_a)
+        r_b = _project_radius(axis, maj_b, min_b, half_b)
+        overlap = overlap & (dist <= r_a + r_b)
+    return overlap
+
+
+def obb_segment_overlap(center, theta, half_ext, seg_a, seg_b) -> jnp.ndarray:
+    """Separating-axis OBB vs line-segment overlap; broadcasts leading dims.
+
+    Axes: the two box axes plus the segment normal (exact for convex vs
+    segment).  Used for the road-boundary check replacing the triangle-soup
+    boundary obstacle (reactive_planner.py:246-248).
+    """
+    major, minor = _obb_axes(theta)
+    mid = 0.5 * (seg_a + seg_b)
+    half_seg = 0.5 * (seg_b - seg_a)
+    delta = mid - center
+
+    overlap = jnp.ones(delta.shape[:-1], dtype=bool)
+    for axis in (major, minor):
+        dist = jnp.abs(jnp.sum(delta * axis, axis=-1))
+        r_box = _project_radius(axis, major, minor, half_ext)
+        r_seg = jnp.abs(jnp.sum(half_seg * axis, axis=-1))
+        overlap = overlap & (dist <= r_box + r_seg)
+    seg_dir = seg_b - seg_a
+    normal = jnp.stack([-seg_dir[..., 1], seg_dir[..., 0]], axis=-1)
+    norm_len = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    normal = normal / jnp.where(norm_len > 0, norm_len, 1.0)
+    dist = jnp.abs(jnp.sum(delta * normal, axis=-1))
+    r_box = _project_radius(normal, major, minor, half_ext)
+    overlap = overlap & (dist <= r_box)
+    return overlap
+
+
+def check_collisions(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
+                     obstacles: ObstacleArrays,
+                     boundary: Optional[BoundaryArrays],
+                     half_length: jnp.ndarray, half_width: jnp.ndarray,
+                     wb_rear_axle: jnp.ndarray) -> jnp.ndarray:
+    """Collision mask [K] for ego trajectories [K, T] (rear-axle positions).
+
+    Mirrors _check_collisions pose construction (reactive_planner.py:1033-1041):
+    the ego OBB is centered at the rear-axle position shifted forward by
+    wb_rear_axle along the heading.
+    """
+    cx = x + wb_rear_axle * jnp.cos(theta)                   # [K, T]
+    cy = y + wb_rear_axle * jnp.sin(theta)
+    ego_center = jnp.stack([cx, cy], axis=-1)                # [K, T, 2]
+    ego_half = jnp.stack([jnp.broadcast_to(half_length, x.shape),
+                          jnp.broadcast_to(half_width, x.shape)], axis=-1)
+
+    collides = jnp.zeros(x.shape[0], dtype=bool)
+
+    if obstacles.pose.shape[0] > 0:
+        obs_center = obstacles.pose[None, :, :, :2].transpose(0, 2, 1, 3)  # [1, T, M, 2]
+        obs_theta = obstacles.pose[None, :, :, 2].transpose(0, 2, 1)       # [1, T, M]
+        obs_half = obstacles.half_ext[None, None, :, :]                    # [1, 1, M, 2]
+        hit = obb_overlap(ego_center[:, :, None, :], theta[:, :, None],
+                          ego_half[:, :, None, :],
+                          obs_center, obs_theta, obs_half)                 # [K, T, M]
+        hit = hit & obstacles.valid.T[None, :, :]
+        collides = collides | jnp.any(hit, axis=(1, 2))
+
+    if boundary is not None and boundary.segments.shape[0] > 0:
+        seg_a = boundary.segments[None, None, :, 0, :]                     # [1, 1, B, 2]
+        seg_b = boundary.segments[None, None, :, 1, :]
+        hit_b = obb_segment_overlap(ego_center[:, :, None, :],
+                                    theta[:, :, None],
+                                    ego_half[:, :, None, :], seg_a, seg_b)  # [K, T, B]
+        hit_b = hit_b & boundary.valid[None, None, :]
+        collides = collides | jnp.any(hit_b, axis=(1, 2))
+
+    return collides

@@ -1,0 +1,313 @@
+"""Batched kinematic rollout, feasibility masks, and candidate extension.
+
+TPU-native replacement for the reference's hot loop ``_check_kinematics``
+(reference: commonroad_rp/reactive_planner.py:715-969): the reference walks
+every candidate in a Python loop with per-step native-library calls; here the
+entire bundle is one dense [K, T] array program — a short ``lax.scan`` over the
+horizon (T = N+1 <= 61 steps) with the candidate axis vectorized, followed by
+fully vectorized Frenet->Cartesian conversion and constant-acceleration
+extension (``enlarge``) of short candidates.
+
+Selection semantics replicate the reference exactly (SURVEY.md section 7
+"hard parts"): same Werling Appendix-A formulas, same EPS clamps, same
+constraint order for the infeasibility-reason statistics, same enlarge
+arithmetic (trajectories.py:168-197, :302-332), including its quirks (the
+curvilinear extension uses the zero-padded terminal acceleration, the
+Cartesian one the repeated last acceleration).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from commonroad_rp_tpu.ops import frenet as frenet_ops
+from commonroad_rp_tpu.ops import polynomial as poly
+
+# precision value (reactive_planner.py:49)
+_EPS = 1e-5
+
+# infeasibility reason codes (order = check order in _check_constraints,
+# reactive_planner.py:971-1017; DOMAIN corresponds to the out-of-projection-
+# domain rejection at :910-917 which is not part of the reason dict)
+REASON_FEASIBLE = -1
+REASON_VELOCITY = 0
+REASON_KAPPA = 1
+REASON_YAW_RATE = 2
+REASON_KAPPA_DOT = 3
+REASON_ACCELERATION = 4
+REASON_DOMAIN = 5
+
+REASON_NAMES = {
+    REASON_VELOCITY: "velocity",
+    REASON_KAPPA: "kappa",
+    REASON_YAW_RATE: "yaw_rate",
+    REASON_KAPPA_DOT: "kappa_dot",
+    REASON_ACCELERATION: "acceleration",
+}
+
+
+class VehicleArrays(NamedTuple):
+    """Traced vehicle constraint scalars (from utils.config.VehicleConfiguration)."""
+
+    wheelbase: jnp.ndarray
+    wb_rear_axle: jnp.ndarray
+    a_max: jnp.ndarray
+    v_switch: jnp.ndarray
+    kappa_max: jnp.ndarray       # tan(delta_max) / wheelbase (config.py:222)
+    v_delta_max: jnp.ndarray
+    half_length: jnp.ndarray
+    half_width: jnp.ndarray
+
+
+class RolloutResult(NamedTuple):
+    """Dense per-candidate trajectory arrays after rollout + enlarge.
+
+    All state arrays are [K, T]; masks/stats are [K].
+    """
+
+    # curvilinear (CurviLinearSample fields, trajectories.py:200-213)
+    s: jnp.ndarray
+    s_dot: jnp.ndarray
+    s_ddot: jnp.ndarray
+    d: jnp.ndarray
+    d_dot: jnp.ndarray
+    d_ddot: jnp.ndarray
+    theta_cl: jnp.ndarray
+    # Cartesian (CartesianSample fields, trajectories.py:61-75)
+    x: jnp.ndarray
+    y: jnp.ndarray
+    theta_gl: jnp.ndarray
+    v: jnp.ndarray
+    a: jnp.ndarray
+    kappa_gl: jnp.ndarray
+    kappa_dot: jnp.ndarray
+    # feasibility
+    feasible: jnp.ndarray        # [K] bool: kinematics + projection domain
+    reason: jnp.ndarray          # [K] int32 reason code (REASON_*)
+
+
+def rollout(coeffs_lon: jnp.ndarray,
+            coeffs_lat: jnp.ndarray,
+            traj_len: jnp.ndarray,
+            ref: frenet_ops.RefPathTables,
+            veh: VehicleArrays,
+            x0_orientation: jnp.ndarray,
+            dt: float,
+            n_steps: int,
+            low_vel_mode: bool,
+            check_velocity: bool = True,
+            check_acceleration: bool = True,
+            check_kappa: bool = True,
+            check_kappa_dot: bool = True,
+            check_yaw_rate: bool = True) -> RolloutResult:
+    """Evaluate, transform, constraint-check, and extend a candidate batch.
+
+    Args:
+      coeffs_lon/coeffs_lat: [K, 6] polynomial coefficients.
+      traj_len: [K] int32 number of valid steps (len of the reference's
+        per-candidate time array, reactive_planner.py:733-748).
+      ref: reference-path tables.
+      veh: vehicle constraint scalars.
+      x0_orientation: scalar initial global orientation (used by the
+        standstill branch of the orientation computation, :866).
+      dt: planner step. n_steps: N; arrays span T = N+1 steps.
+      low_vel_mode: lateral polynomials parameterized by arclength
+        (reactive_planner.py:755-772).
+      check_*: which kinematic constraints are active
+        (config.planning.constraints_to_check).
+    """
+    dtype = coeffs_lon.dtype
+    K = coeffs_lon.shape[0]
+    T = n_steps + 1
+    t_vec = jnp.arange(T, dtype=dtype) * dt
+    step_idx = jnp.arange(T, dtype=jnp.int32)
+    active = step_idx[None, :] < traj_len[:, None]          # [K, T]
+
+    cl = coeffs_lon[:, None, :]
+    # longitudinal rollout (reactive_planner.py:751-753), zero-padded beyond
+    # traj_len like the reference's pre-allocated arrays (:740-745)
+    s = jnp.where(active, poly.eval_position(cl, t_vec[None, :]), 0.0)
+    s_dot = jnp.where(active, poly.eval_velocity(cl, t_vec[None, :]), 0.0)
+    s_ddot = jnp.where(active, poly.eval_acceleration(cl, t_vec[None, :]), 0.0)
+
+    # lateral parameter: time, or travelled arclength in low-velocity mode
+    # (reactive_planner.py:756-772)
+    if low_vel_mode:
+        tau_lat = jnp.where(active, s - s[:, :1], 0.0)
+    else:
+        tau_lat = jnp.where(active, jnp.broadcast_to(t_vec[None, :], (K, T)), 0.0)
+    ca = coeffs_lat[:, None, :]
+    d = jnp.where(active, poly.eval_position(ca, tau_lat), 0.0)
+    d_dot = jnp.where(active, poly.eval_velocity(ca, tau_lat), 0.0)
+    d_ddot = jnp.where(active, poly.eval_acceleration(ca, tau_lat), 0.0)
+
+    # near-zero velocity clamp (reactive_planner.py:776-777)
+    s_dot = jnp.where(jnp.abs(s_dot) < _EPS, 0.0, s_dot)
+    d_dot = jnp.where(jnp.abs(d_dot) < _EPS, 0.0, d_dot)
+
+    # quick under-approximative pre-filter (reactive_planner.py:796-805);
+    # acceleration is checked first, so it wins the reason when both trip
+    pre_acc = jnp.any(jnp.abs(s_ddot) > veh.a_max, axis=1)
+    pre_vel = jnp.any(s_dot < -_EPS, axis=1)
+    prefiltered = pre_acc | pre_vel
+    pre_reason = jnp.where(pre_acc, REASON_ACCELERATION, REASON_VELOCITY)
+
+    # ---- per-step scan (the reference's per-step loop, :807-904) ----------
+    def step(carry, inp):
+        theta_gl_prev, kappa_gl_prev, feasible, reason = carry
+        i, s_i, sv_i, sa_i, d_i, dv_i, da_i = inp
+
+        moving = sv_i > 0.001
+        if low_vel_mode:
+            dp = dv_i
+            dpp = da_i
+        else:
+            sv_safe = jnp.where(moving, sv_i, 1.0)
+            dp = jnp.where(moving, dv_i / sv_safe, 0.0)
+            ddot = da_i - dp * sa_i                         # Werling Eq. (A.8)
+            dpp = jnp.where(moving, ddot / (sv_safe * sv_safe), 0.0)
+
+        idx = frenet_ops.interp_index(ref, s_i)
+        lam = frenet_ops.interp_fraction(ref, s_i, idx)
+        interp_theta = frenet_ops.interpolate_angle_at(ref, s_i, idx)
+
+        # orientations (reactive_planner.py:841-873)
+        theta_cl_move = jnp.arctan2(dp, 1.0)
+        theta_gl_move = theta_cl_move + interp_theta
+        if low_vel_mode:
+            theta_cl_i = theta_cl_move
+            theta_gl_i = theta_gl_move
+        else:
+            theta_gl_still = jnp.where(i == 0, x0_orientation, theta_gl_prev)
+            theta_cl_still = theta_gl_still - interp_theta
+            theta_cl_i = jnp.where(moving, theta_cl_move, theta_cl_still)
+            theta_gl_i = jnp.where(moving, theta_gl_move, theta_gl_still)
+
+        k_r = frenet_ops.interp_table(ref.curv, idx, lam)
+        k_r_d = frenet_ops.interp_table(ref.curv_d, idx, lam)
+
+        # global curvature, velocity, acceleration (Werling App. A;
+        # reactive_planner.py:883-896, operation order preserved)
+        one_krd = 1.0 - k_r * d_i
+        cos_t = jnp.cos(theta_cl_i)
+        tan_t = jnp.tan(theta_cl_i)
+        kappa_gl_i = ((dpp + (k_r * dp + k_r_d * d_i) * tan_t) * cos_t *
+                      (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
+        v_i = sv_i * (one_krd / cos_t)
+        a_i = (sa_i * one_krd / cos_t + ((sv_i ** 2) / cos_t) *
+               (one_krd * tan_t * (kappa_gl_i * one_krd / cos_t - k_r) -
+                (k_r_d * d_i + k_r * dp)))
+
+        # constraint checks in reference order (reactive_planner.py:971-1017)
+        viol = jnp.zeros_like(feasible)
+        new_reason = jnp.full((K,), REASON_FEASIBLE, dtype=jnp.int32)
+
+        def add(viol, new_reason, flag, code):
+            fresh = flag & ~viol
+            return viol | flag, jnp.where(fresh, code, new_reason)
+
+        if check_velocity:
+            viol, new_reason = add(viol, new_reason, v_i < -_EPS, REASON_VELOCITY)
+        if check_kappa:
+            viol, new_reason = add(viol, new_reason,
+                                   jnp.abs(kappa_gl_i) > veh.kappa_max, REASON_KAPPA)
+        if check_yaw_rate:
+            yaw_rate = jnp.where(i > 0, (theta_gl_i - theta_gl_prev) / dt, 0.0)
+            theta_dot_max = veh.kappa_max * v_i
+            yaw_flag = jnp.abs(jnp.round(yaw_rate, 5)) > theta_dot_max
+            viol, new_reason = add(viol, new_reason, yaw_flag, REASON_YAW_RATE)
+        if check_kappa_dot:
+            steering_angle = jnp.arctan2(veh.wheelbase * kappa_gl_i, 1.0)
+            kappa_dot_max = veh.v_delta_max / (veh.wheelbase *
+                                               jnp.cos(steering_angle) ** 2)
+            kappa_dot_i = jnp.where(i > 0, (kappa_gl_i - kappa_gl_prev) / dt, 0.0)
+            viol, new_reason = add(viol, new_reason,
+                                   jnp.abs(kappa_dot_i) > kappa_dot_max,
+                                   REASON_KAPPA_DOT)
+        if check_acceleration:
+            v_safe = jnp.where(v_i > veh.v_switch, v_i, 1.0)
+            a_hi = jnp.where(v_i > veh.v_switch, veh.a_max * veh.v_switch / v_safe,
+                             veh.a_max)
+            acc_flag = (a_i < -veh.a_max) | (a_i > a_hi)
+            viol, new_reason = add(viol, new_reason, acc_flag, REASON_ACCELERATION)
+
+        active_i = i < traj_len
+        fresh_fail = active_i & feasible & viol
+        reason = jnp.where(fresh_fail, new_reason, reason)
+        feasible = feasible & ~(active_i & viol)
+
+        # zero-pad outputs beyond each candidate's valid span, matching the
+        # reference's pre-allocated zero arrays (:781-791)
+        out = tuple(jnp.where(active_i, val, 0.0)
+                    for val in (theta_cl_i, theta_gl_i, kappa_gl_i, v_i, a_i))
+        return (theta_gl_i, kappa_gl_i, feasible, reason), out
+
+    init = (jnp.full((K,), x0_orientation, dtype=dtype),
+            jnp.zeros((K,), dtype=dtype),
+            jnp.ones((K,), dtype=bool),
+            jnp.full((K,), REASON_FEASIBLE, dtype=jnp.int32))
+    xs = (step_idx,
+          s.T, s_dot.T, s_ddot.T, d.T, d_dot.T, d_ddot.T)
+    (_, _, scan_feasible, scan_reason), ys = jax.lax.scan(step, init, xs)
+    theta_cl, theta_gl, kappa_gl, v, a = (y.T for y in ys)
+
+    # ---- Frenet -> Cartesian (replaces per-point pycrccosy calls, :908-917)
+    x, y_pos, in_domain = frenet_ops.to_cartesian(ref, s, d)
+    x = jnp.where(active, x, 0.0)
+    y_pos = jnp.where(active, y_pos, 0.0)
+    domain_ok = jnp.all(in_domain | ~active, axis=1)
+
+    # combine feasibility: prefilter -> per-step constraints -> domain
+    reason = jnp.where(prefiltered, pre_reason, scan_reason)
+    kin_feasible = ~prefiltered & scan_feasible
+    reason = jnp.where(kin_feasible & ~domain_ok, REASON_DOMAIN, reason)
+    feasible = kin_feasible & domain_ok
+
+    # kappa_dot array: [0, diff(kappa_gl)] over the padded array, computed
+    # BEFORE enlarge (reactive_planner.py:923)
+    kappa_dot = jnp.concatenate(
+        [jnp.zeros((K, 1), dtype=dtype), jnp.diff(kappa_gl, axis=1)], axis=1)
+
+    # ---- enlarge short candidates to N+1 steps --------------------------
+    ext = ~active                                           # steps to fill
+    last = traj_len - 1
+    take_last = lambda arr: jnp.take_along_axis(arr, last[:, None], axis=1)
+    t_rel = (step_idx[None, :] - last[:, None]).astype(dtype) * dt  # (j-last)*dt
+
+    # Cartesian extension (trajectories.py:168-197)
+    a_last = take_last(a)
+    v_temp = take_last(v) + t_rel * a_last
+    v_temp = v_temp * (v_temp >= 0)                         # :184
+    theta_last = take_last(theta_gl)
+    incr_x = jnp.where(ext, dt * v_temp * jnp.cos(theta_last), 0.0)
+    incr_y = jnp.where(ext, dt * v_temp * jnp.sin(theta_last), 0.0)
+    x = jnp.where(ext, take_last(x) + jnp.cumsum(incr_x, axis=1), x)
+    y_pos = jnp.where(ext, take_last(y_pos) + jnp.cumsum(incr_y, axis=1), y_pos)
+    v = jnp.where(ext, v_temp, v)
+    a = jnp.where(ext, a_last, a)
+    theta_gl = jnp.where(ext, theta_last, theta_gl)
+    kappa_gl = jnp.where(ext, take_last(kappa_gl), kappa_gl)
+    kappa_dot = jnp.where(ext, take_last(kappa_dot), kappa_dot)
+
+    # curvilinear extension (trajectories.py:302-332); the padded terminal
+    # s_ddot/d_ddot used for the velocity extension are zero (:313, :319),
+    # so the extended velocities are constant (clamped at zero for s)
+    s_dot_last = take_last(s_dot)
+    s_dot_ext = s_dot_last * (s_dot_last >= 0)
+    d_dot_last = take_last(d_dot)
+    s = jnp.where(ext, take_last(s) + t_rel * s_dot_last, s)
+    d = jnp.where(ext, take_last(d) + t_rel * d_dot_last, d)
+    s_dot = jnp.where(ext, s_dot_ext, s_dot)
+    d_dot = jnp.where(ext, d_dot_last, d_dot)
+    s_ddot = jnp.where(ext, take_last(s_ddot), s_ddot)
+    d_ddot = jnp.where(ext, take_last(d_ddot), d_ddot)
+    theta_cl = jnp.where(ext, take_last(theta_cl), theta_cl)
+
+    return RolloutResult(s=s, s_dot=s_dot, s_ddot=s_ddot, d=d, d_dot=d_dot,
+                         d_ddot=d_ddot, theta_cl=theta_cl, x=x, y=y_pos,
+                         theta_gl=theta_gl, v=v, a=a, kappa_gl=kappa_gl,
+                         kappa_dot=kappa_dot, feasible=feasible,
+                         reason=reason)

@@ -1,0 +1,131 @@
+"""Curvilinear coordinate-system wrapper.
+
+Equivalent of the reference's ``CoordinateSystem``
+(reference: commonroad_rp/utility/utils_coordinate_system.py:86-178), which
+wraps the C++ CLCS and precomputes reference state tables.  Here construction
+performs the same host-side preprocessing (vertex dedup + cubic-spline
+smoothing + table computation) and additionally compiles the device-resident
+``RefPathTables`` consumed by the batched kernels.  Point conversions are
+host-convenience wrappers over ``ops.frenet`` (numpy-backed, no device round
+trip) — the hot path never calls them per point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from commonroad_rp_tpu.ops import frenet as frenet_ops
+from commonroad_rp_tpu.utils import geometry
+
+
+class CoordinateSystem:
+
+    def __init__(self, reference: Optional[np.ndarray] = None,
+                 tables: Optional[frenet_ops.RefPathTables] = None,
+                 smooth_reference: bool = True, dtype=None):
+        import jax.numpy as jnp
+        dtype = dtype or jnp.float64
+
+        if tables is not None:
+            self._tables = tables
+            self._reference = np.asarray(tables.points, dtype=np.float64)
+        else:
+            assert reference is not None, \
+                "<CoordinateSystem>: provide a reference path OR tables"
+            # dedup -> smooth -> dedup (utils_coordinate_system.py:93-104)
+            reference = geometry.remove_duplicate_vertices(
+                np.asarray(reference, dtype=np.float64))
+            if smooth_reference:
+                reference = geometry.smooth_ref_path(reference)
+                reference = geometry.remove_duplicate_vertices(reference)
+            self._reference = reference
+            self._tables = frenet_ops.from_polyline(reference, dtype=dtype)
+
+        # host mirrors of the state tables (:114-118)
+        self._ref_pos = np.asarray(self._tables.s, dtype=np.float64)
+        self._ref_theta = np.asarray(self._tables.theta, dtype=np.float64)
+        self._ref_curv = np.asarray(self._tables.curv, dtype=np.float64)
+        self._ref_curv_d = np.asarray(self._tables.curv_d, dtype=np.float64)
+        self._ref_curv_dd = np.asarray(self._tables.curv_dd, dtype=np.float64)
+        self._tangent = np.asarray(self._tables.tangent, dtype=np.float64)
+        self._normal = np.asarray(self._tables.normal, dtype=np.float64)
+
+    @property
+    def reference(self) -> np.ndarray:
+        return self._reference
+
+    @property
+    def tables(self) -> frenet_ops.RefPathTables:
+        """Device-resident tables for the batched kernels."""
+        return self._tables
+
+    @property
+    def ref_pos(self) -> np.ndarray:
+        return self._ref_pos
+
+    @property
+    def ref_curv(self) -> np.ndarray:
+        return self._ref_curv
+
+    @property
+    def ref_curv_d(self) -> np.ndarray:
+        return self._ref_curv_d
+
+    @property
+    def ref_curv_dd(self) -> np.ndarray:
+        return self._ref_curv_dd
+
+    @property
+    def ref_theta(self) -> np.ndarray:
+        return self._ref_theta
+
+    def convert_to_cartesian_coords(self, s: float, d: float) -> Optional[np.ndarray]:
+        """(s, d) -> (x, y); None outside the projection domain
+        (utils_coordinate_system.py:167-174). Host/numpy."""
+        if s < self._ref_pos[0] or s > self._ref_pos[-1]:
+            return None
+        seg = min(max(int(np.searchsorted(self._ref_pos, s, side="right")) - 1, 0),
+                  len(self._ref_pos) - 2)
+        ds = s - self._ref_pos[seg]
+        return (self._reference[seg] + ds * self._tangent[seg] + d * self._normal[seg])
+
+    def convert_to_curvilinear_coords(self, x: float, y: float) -> np.ndarray:
+        """(x, y) -> (s, d) by orthogonal polyline projection
+        (utils_coordinate_system.py:176-178). Host/numpy."""
+        p = np.array([x, y])
+        a = self._reference[:-1]
+        t_hat = self._tangent[:-1]
+        n_hat = self._normal[:-1]
+        seg_len = np.diff(self._ref_pos)
+
+        rel = p[None, :] - a
+        t_proj = np.clip(np.sum(rel * t_hat, axis=1), 0.0, seg_len)
+        closest = a + t_proj[:, None] * t_hat
+        dist2 = np.sum((p[None, :] - closest) ** 2, axis=1)
+        best = int(np.argmin(dist2))
+        s = self._ref_pos[best] + t_proj[best]
+        d = float(np.dot(rel[best], n_hat[best]))
+        if s <= self._ref_pos[0] - 1e-9 or s >= self._ref_pos[-1] + 1e-9:
+            raise ValueError("Point outside the curvilinear projection domain")
+        return np.array([s, d])
+
+    def plot_reference_states(self):
+        """Reference state plots (utils_coordinate_system.py:180-212)."""
+        from matplotlib import pyplot as plt
+
+        plt.figure(figsize=(7, 7.5))
+        plt.suptitle("Reference path states")
+        for i, (table, label) in enumerate([
+                (self.ref_theta, "theta_ref"), (self.ref_curv, "kappa_ref"),
+                (self.ref_curv_d, "kappa_dot_ref"),
+                (self.ref_curv_dd, "kappa_dot_dot_ref")]):
+            plt.subplot(4, 1, i + 1)
+            plt.plot(self.ref_pos, table, color="k")
+            plt.xlabel("s")
+            plt.ylabel(label)
+            if i >= 2:
+                plt.ylim(-0.1, 0.1)
+        plt.tight_layout()
+        plt.show()
