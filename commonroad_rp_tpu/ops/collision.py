@@ -119,18 +119,38 @@ def compile_road_boundary(scenario: Scenario, dtype=jnp.float64) -> BoundaryArra
 
     Equivalent of create_road_boundary_obstacle (reactive_planner.py:246-248),
     which triangulates the lanelet-network complement in C++.  Here the
-    boundary is derived from lanelet topology: a lanelet's left/right bound is
-    a road boundary wherever no same-direction or opposite adjacent lanelet
-    shares it; crossing such a segment is leaving the road.
+    boundary is derived from lanelet topology and geometry: a lanelet's
+    left/right bound is a road boundary wherever no adjacent lanelet shares it
+    AND the segment is not interior to the union of lanelet polygons (lanelets
+    overlap without adjacency links inside junction areas).
     """
+    from commonroad_rp_tpu.utils.scenario import point_in_polygon
+
+    lanelets = scenario.lanelet_network.lanelets
+    polygons = {l.lanelet_id: l.polygon for l in lanelets}
+
+    def interior(seg_a: np.ndarray, seg_b: np.ndarray, own_id: int) -> bool:
+        """Segment lies inside some OTHER lanelet polygon (junction overlap).
+        Sampled at 1/4, 1/2, 3/4 to tolerate partially covered segments."""
+        probes = [0.5 * (seg_a + seg_b), 0.75 * seg_a + 0.25 * seg_b,
+                  0.25 * seg_a + 0.75 * seg_b]
+        for lanelet_id, poly in polygons.items():
+            if lanelet_id == own_id:
+                continue
+            if all(point_in_polygon(p, poly) for p in probes):
+                return True
+        return False
+
     segments: List[np.ndarray] = []
-    for lanelet in scenario.lanelet_network.lanelets:
-        if lanelet.adj_left is None:
-            pts = lanelet.left_vertices
-            segments.extend(np.stack([pts[:-1], pts[1:]], axis=1))
-        if lanelet.adj_right is None:
-            pts = lanelet.right_vertices
-            segments.extend(np.stack([pts[:-1], pts[1:]], axis=1))
+    for lanelet in lanelets:
+        for side, adjacent in (("left", lanelet.adj_left),
+                               ("right", lanelet.adj_right)):
+            if adjacent is not None:
+                continue
+            pts = lanelet.left_vertices if side == "left" else lanelet.right_vertices
+            for a, b in zip(pts[:-1], pts[1:]):
+                if not interior(a, b, lanelet.lanelet_id):
+                    segments.append(np.stack([a, b]))
     if not segments:
         return BoundaryArrays(segments=jnp.zeros((0, 2, 2), dtype=dtype),
                               valid=jnp.zeros((0,), dtype=bool))

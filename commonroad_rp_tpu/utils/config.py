@@ -25,14 +25,16 @@ def _fill_dataclass(cls, data: Dict[str, Any]):
     of the reference's _dict_to_params + OmegaConf merge validation
     (config.py:22-40, :98-101).
     """
-    field_map = {f.name: f for f in dataclasses.fields(cls)}
+    import typing
+    hints = typing.get_type_hints(cls)
+    field_names = {f.name for f in dataclasses.fields(cls)}
     kwargs = {}
     for key, value in (data or {}).items():
-        if key not in field_map:
+        if key not in field_names:
             raise KeyError(f"Unknown config key '{key}' for {cls.__name__}")
-        f = field_map[key]
-        sub_cls = f.type if isinstance(f.type, type) else None
-        if isinstance(value, dict) and sub_cls is not None and dataclasses.is_dataclass(sub_cls):
+        sub_cls = hints.get(key)
+        if isinstance(value, dict) and isinstance(sub_cls, type) \
+                and dataclasses.is_dataclass(sub_cls):
             kwargs[key] = _fill_dataclass(sub_cls, value)
         else:
             kwargs[key] = value

@@ -1,0 +1,127 @@
+"""End-to-end driver: config -> route -> planner -> cyclic replanning -> evaluation.
+
+Mirror of the reference driver (reference: run_planner.py:25-126) on the
+TPU-native planner.  Usage:
+
+    python run_planner.py [--scenario ZAM_Over-1_1] [--platform cpu|tpu]
+                          [--max-steps N] [--evaluate] [--plot]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--scenario", default="ZAM_Over-1_1")
+    parser.add_argument("--platform", default=None,
+                        help="force a jax platform (cpu / tpu)")
+    parser.add_argument("--max-steps", type=int, default=300)
+    parser.add_argument("--evaluate", action="store_true",
+                        help="run the solution-feasibility evaluation harness")
+    parser.add_argument("--plot", action="store_true",
+                        help="save final-trajectory plot to output/")
+    args = parser.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache, scoped per backend (cross-machine CPU AOT
+    # artifacts are not portable; the TPU tunnel's ~30-150s compiles are)
+    backend = args.platform or "default"
+    jax.config.update("jax_compilation_cache_dir", f".jax_cache/{backend}")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    from commonroad_rp_tpu.models.planner import ReactivePlanner
+    from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
+    from commonroad_rp_tpu.utils.logger import initialize_logger
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+
+    # *************************************
+    # Set configurations (run_planner.py:28-32)
+    # *************************************
+    filename = f"{args.scenario}.xml"
+    config = ReactivePlannerConfiguration.load(
+        f"configurations/{args.scenario}.yaml", filename)
+    config.update()
+
+    initialize_logger(config)
+    logger = logging.getLogger("RP_LOGGER")
+    logger.info("Scenario %s on platform %s", args.scenario, jax.default_backend())
+
+    # *************************************
+    # Initialize planner (run_planner.py:39-50)
+    # *************************************
+    route_planner = RoutePlanner(config.scenario, config.planning_problem)
+    route = route_planner.plan_routes().retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+
+    # **************************
+    # Run planning (run_planner.py:53-115)
+    # **************************
+    planner.record_state_and_input(planner.x_0)
+    optimal = None
+    t_start = time.time()
+
+    while not planner.goal_reached():
+        current_count = len(planner.record_state_list) - 1
+        if current_count >= args.max_steps:
+            logger.warning("Aborting after %d steps without reaching goal",
+                           current_count)
+            break
+
+        plan_new_trajectory = \
+            current_count % config.planning.replanning_frequency == 0
+        if plan_new_trajectory:
+            planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+            optimal = planner.plan()
+            if not optimal:
+                logger.error("Planner returned no trajectory — stopping")
+                break
+            planner.record_state_and_input(optimal[0].state_list[1])
+            planner.reset(initial_state_cart=planner.record_state_list[-1],
+                          initial_state_curv=(optimal[2][1], optimal[3][1]),
+                          collision_checker=planner.collision_checker,
+                          coordinate_system=planner.coordinate_system)
+        else:
+            # continue on the previous optimal trajectory (run_planner.py:94-107)
+            temp = current_count % config.planning.replanning_frequency
+            planner.record_state_and_input(optimal[0].state_list[1 + temp])
+            planner.reset(initial_state_cart=planner.record_state_list[-1],
+                          initial_state_curv=(optimal[2][1 + temp],
+                                              optimal[3][1 + temp]),
+                          collision_checker=planner.collision_checker,
+                          coordinate_system=planner.coordinate_system)
+        print(f"current time step: {current_count}", flush=True)
+
+    wall = time.time() - t_start
+    n_steps = len(planner.record_state_list) - 1
+    reached = planner.goal_reached()
+    print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "
+          f"cycles={len(planner.planning_times)} "
+          f"p50_cycle={sorted(planner.planning_times)[len(planner.planning_times)//2]:.4f}s"
+          if planner.planning_times else "no planning cycles ran", flush=True)
+
+    if args.plot:
+        from commonroad_rp_tpu.utils.visualization import plot_final_trajectory
+        plot_final_trajectory(config.scenario, config.planning_problem,
+                              planner.record_state_list, config)
+
+    # **************************
+    # Evaluate results (run_planner.py:121-126)
+    # **************************
+    if args.evaluate:
+        from commonroad_rp_tpu.utils.evaluation import run_evaluation
+        solution, feasibility = run_evaluation(
+            planner.config, planner.record_state_list, planner.record_input_list)
+        print(f"state transitions feasible: {sum(feasibility)}/{len(feasibility)}")
+
+    return 0 if reached else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,108 @@
+"""End-to-end: full cyclic replanning on the bundled scenarios (CPU).
+
+Mirrors the reference driver loop (run_planner.py:61-107): plan every
+``replanning_frequency`` steps, step along the previous optimum in between,
+reset with carried-over collision checker and coordinate system.
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from commonroad_rp_tpu.models.planner import ReactivePlanner
+from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
+from commonroad_rp_tpu.utils.route import RoutePlanner
+
+logging.getLogger("RP_LOGGER").setLevel(logging.CRITICAL)
+
+
+def _run_loop(config, max_steps=150):
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes().retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.record_state_and_input(planner.x_0)
+    optimal = None
+    while not planner.goal_reached() and len(planner.record_state_list) <= max_steps:
+        count = len(planner.record_state_list) - 1
+        freq = config.planning.replanning_frequency
+        if count % freq == 0:
+            planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+            optimal = planner.plan()
+            if not optimal:
+                break
+            offset = 1
+        else:
+            offset = 1 + count % freq
+        planner.record_state_and_input(optimal[0].state_list[offset])
+        planner.reset(initial_state_cart=planner.record_state_list[-1],
+                      initial_state_curv=(optimal[2][offset], optimal[3][offset]),
+                      collision_checker=planner.collision_checker,
+                      coordinate_system=planner.coordinate_system)
+    return planner
+
+
+@pytest.fixture(scope="module")
+def over_planner(repo_root):
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Over-1_1.xml")
+    config.update()
+    return _run_loop(config)
+
+
+def test_over_reaches_goal(over_planner):
+    assert over_planner.goal_reached()
+    assert len(over_planner.record_state_list) < 60
+
+
+def test_over_avoids_obstacle(over_planner):
+    """The selected maneuver must clear the static obstacle: when the ego is
+    longitudinally inside the obstacle span, its lateral gap must exceed the
+    half widths."""
+    wb = over_planner.vehicle_params.wb_rear_axle
+    obstacle = np.array([59.948, 0.48323])
+    for state in over_planner.record_state_list:
+        center = state.position + wb * np.array([np.cos(state.orientation),
+                                                 np.sin(state.orientation)])
+        if abs(center[0] - obstacle[0]) < 3.0:          # inside obstacle x-span
+            assert center[1] - obstacle[1] > 0.5 * 3.5, \
+                f"ego at {center} not clear of obstacle"
+
+
+def test_over_is_dynamically_smooth(over_planner):
+    """Recorded velocities/accelerations stay within vehicle limits."""
+    v = np.array([s.velocity for s in over_planner.record_state_list])
+    a = np.array([s.acceleration for s in over_planner.record_state_list])
+    assert np.all(v >= -1e-5)
+    assert np.all(np.abs(a) <= over_planner.vehicle_params.a_max + 1e-6)
+    # velocity consistency: |dv/dt| bounded by a_max between steps
+    dv = np.abs(np.diff(v)) / over_planner.dt
+    assert np.percentile(dv, 95) <= over_planner.vehicle_params.a_max + 1e-6
+
+
+def test_deu_dynamic_obstacles(repo_root):
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "DEU_Test-1_1_T-1.yaml",
+        "DEU_Test-1_1_T-1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("DEU_Test-1_1_T-1.xml")
+    config.update()
+    planner = _run_loop(config)
+    assert planner.goal_reached()
+
+
+def test_route_planner_all_scenarios(repo_root):
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    for name in ["ZAM_Over-1_1", "DEU_Test-1_1_T-1", "ZAM_Tjunction-1_42_T-1",
+                 "ZAM-Ramp-1_1-T-1"]:
+        scenario, pp, _ = load_scenario_and_planning_problem(
+            str(repo_root / "example_scenarios" / f"{name}.xml"))
+        route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+        ref = route.reference_path
+        assert len(ref) > 10
+        # the reference path passes near the initial position
+        d = np.min(np.linalg.norm(ref - pp.initial_state.position, axis=1))
+        assert d < 5.0, f"{name}: reference path {d:.1f} m from initial state"
