@@ -1,0 +1,166 @@
+"""Benchmark: candidate-evaluations/sec of the fused planning-cycle kernel.
+
+Prints ONE JSON line:
+  {"metric": "candidate_evals_per_sec", "value": N, "unit": "cand/s",
+   "vs_baseline": R, ...}
+
+The reference publishes no benchmark numbers (BASELINE.md), so the baseline is
+measured here: the pure-numpy conformance oracle (baseline/oracle.py), which
+mirrors the reference's per-candidate computational shape (per-step Python hot
+loop, reactive_planner.py:715-969).  The device metric times the full fused
+cycle program — on-device grid generation, [K, T] rollout, cost, collision
+masks, argmin — at the densest default sampling level (level 3, K = 2754
+candidates, horizon 2 s), the worst-case per-cycle load of the bundled
+configs (SURVEY.md section 6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--platform", default=None)
+    parser.add_argument("--repeats", type=int, default=50)
+    parser.add_argument("--baseline-candidates", type=int, default=400,
+                        help="oracle candidates to time (extrapolated)")
+    args = parser.parse_args()
+
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    backend_dir = args.platform or "default"
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache", backend_dir))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from commonroad_rp_tpu.baseline import oracle
+    from commonroad_rp_tpu.models.sampling import FixedIntervalSampling
+    from commonroad_rp_tpu.ops import grid as grid_ops
+    from commonroad_rp_tpu.ops import kinematics as kin_ops
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.utils.config import (ReactivePlannerConfiguration,
+                                                VehicleConfiguration)
+
+    dtype = jnp.float32
+    n_steps = 20
+    dt = 0.1
+    level = 3
+
+    # ---- scene setup (host) ------------------------------------------------
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "__graft_entry__.py"))
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    problem = graft._build_problem(dtype, n_steps)
+    scene, carry = fleet_ops.build_fleet_scene([problem], n_steps, dtype=dtype)
+
+    veh_cfg = VehicleConfiguration()
+    veh = kin_ops.VehicleArrays(
+        wheelbase=jnp.asarray(veh_cfg.wheelbase, dtype),
+        wb_rear_axle=jnp.asarray(veh_cfg.wb_rear_axle, dtype),
+        a_max=jnp.asarray(veh_cfg.a_max, dtype),
+        v_switch=jnp.asarray(veh_cfg.v_switch, dtype),
+        kappa_max=jnp.asarray(np.tan(veh_cfg.delta_max) / veh_cfg.wheelbase, dtype),
+        v_delta_max=jnp.asarray(veh_cfg.v_delta_max, dtype),
+        half_length=jnp.asarray(0.5 * veh_cfg.length, dtype),
+        half_width=jnp.asarray(0.5 * veh_cfg.width, dtype))
+    static_grid = grid_ops.make_static_grid(
+        level=level, t_min=0.4, horizon=n_steps * dt, dt=dt,
+        d_min=-3.0, d_max=3.0, num_levels=4)
+    K = static_grid.size
+
+    single = functools.partial(
+        fleet_ops._single_problem_cycle, veh=veh, static_grid=static_grid,
+        dt=dt, n_steps=n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * dt)
+
+    @jax.jit
+    def cycle(carry, scene, velocity):
+        take = lambda tree: type(tree)(*[leaf[0] for leaf in tree])
+        return single(carry.x0_lon[0], carry.x0_lat[0], carry.orientation[0],
+                      velocity, carry.time_step[0], carry.alive[0],
+                      take(scene.ref), scene.obs_pose[0], scene.obs_half[0],
+                      scene.obs_valid[0], scene.boundary_seg[0],
+                      scene.boundary_valid[0], scene.desired_speed[0])
+
+    # warm-up / compile
+    t0 = time.time()
+    out = cycle(carry, scene, carry.velocity[0])
+    jax.block_until_ready(out)
+    compile_time = time.time() - t0
+
+    # timed repeats (vary the velocity input so no result caching applies)
+    velocities = jnp.linspace(18.0, 22.0, args.repeats)
+    t0 = time.time()
+    for i in range(args.repeats):
+        out = cycle(carry, scene, velocities[i])
+    jax.block_until_ready(out)
+    device_time = (time.time() - t0) / args.repeats
+    device_evals_per_sec = K / device_time
+
+    # ---- baseline: pure-numpy oracle (reference computational shape) -------
+    cfg = ReactivePlannerConfiguration()
+    cfg.planning.time_steps_computation = n_steps
+    cfg.sampling.t_min = 0.4
+    cfg.sampling.v_min, cfg.sampling.v_max = 18.0, 25.0
+    space = FixedIntervalSampling(cfg)
+    x0_lon = np.asarray(problem["x0_lon"], dtype=np.float64)
+    x0_lat = np.asarray(problem["x0_lat"], dtype=np.float64)
+    batch = space.generate_trajectories_at_level(level, x0_lon, x0_lat,
+                                                 "velocity_keeping", False)
+    n_base = min(args.baseline_candidates, batch.size)
+    import dataclasses
+    small = dataclasses.replace(
+        batch, coeffs_lon=batch.coeffs_lon[:n_base],
+        coeffs_lat=batch.coeffs_lat[:n_base], delta_tau=batch.delta_tau[:n_base],
+        delta_tau_lat=batch.delta_tau_lat[:n_base],
+        traj_len=batch.traj_len[:n_base], t_sample=batch.t_sample[:n_base],
+        lon_sample=batch.lon_sample[:n_base], d_sample=batch.d_sample[:n_base],
+        lon_x0_pos=batch.lon_x0_pos[:n_base], lon_xd_pos=batch.lon_xd_pos[:n_base])
+    oref = oracle.OracleRefPath.from_tables(problem["ref_tables"])
+    oveh = oracle.OracleVehicle(
+        wheelbase=veh_cfg.wheelbase, wb_rear_axle=veh_cfg.wb_rear_axle,
+        a_max=veh_cfg.a_max, v_switch=veh_cfg.v_switch,
+        kappa_max=float(np.tan(veh_cfg.delta_max) / veh_cfg.wheelbase),
+        v_delta_max=veh_cfg.v_delta_max, half_length=veh_cfg.length / 2,
+        half_width=veh_cfg.width / 2)
+    constraints = ["velocity", "acceleration", "kappa", "kappa_dot", "yaw_rate"]
+    t0 = time.time()
+    oracle.evaluate_batch(small, oref, oveh, float(problem["orientation"]),
+                          dt, n_steps, False, constraints, w_a=5.0,
+                          desired_d=0.0, desired_speed=20.0)
+    baseline_time_per_cand = (time.time() - t0) / n_base
+    baseline_evals_per_sec = 1.0 / baseline_time_per_cand
+
+    result = {
+        "metric": "candidate_evals_per_sec",
+        "value": round(device_evals_per_sec, 1),
+        "unit": "cand/s",
+        "vs_baseline": round(device_evals_per_sec / baseline_evals_per_sec, 2),
+        "candidates_per_cycle": K,
+        "cycle_latency_ms": round(device_time * 1e3, 3),
+        "realtime_budget_ms": 300.0,
+        "baseline_evals_per_sec": round(baseline_evals_per_sec, 1),
+        "compile_time_s": round(compile_time, 1),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

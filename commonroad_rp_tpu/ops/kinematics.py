@@ -115,13 +115,16 @@ def rollout(coeffs_lon: jnp.ndarray,
         standstill branch of the orientation computation, :866).
       dt: planner step. n_steps: N; arrays span T = N+1 steps.
       low_vel_mode: lateral polynomials parameterized by arclength
-        (reactive_planner.py:755-772).
+        (reactive_planner.py:755-772).  May be a Python bool (folded at
+        trace time) or a traced scalar bool (fleet/scan path, where the mode
+        is data-dependent per cycle) — the kernel is branchless.
       check_*: which kinematic constraints are active
         (config.planning.constraints_to_check).
     """
     dtype = coeffs_lon.dtype
     K = coeffs_lon.shape[0]
     T = n_steps + 1
+    low_vel = jnp.asarray(low_vel_mode, dtype=bool)
     t_vec = jnp.arange(T, dtype=dtype) * dt
     step_idx = jnp.arange(T, dtype=jnp.int32)
     active = step_idx[None, :] < traj_len[:, None]          # [K, T]
@@ -135,10 +138,10 @@ def rollout(coeffs_lon: jnp.ndarray,
 
     # lateral parameter: time, or travelled arclength in low-velocity mode
     # (reactive_planner.py:756-772)
-    if low_vel_mode:
-        tau_lat = jnp.where(active, s - s[:, :1], 0.0)
-    else:
-        tau_lat = jnp.where(active, jnp.broadcast_to(t_vec[None, :], (K, T)), 0.0)
+    tau_lat = jnp.where(active,
+                        jnp.where(low_vel, s - s[:, :1],
+                                  jnp.broadcast_to(t_vec[None, :], (K, T))),
+                        0.0)
     ca = coeffs_lat[:, None, :]
     d = jnp.where(active, poly.eval_position(ca, tau_lat), 0.0)
     d_dot = jnp.where(active, poly.eval_velocity(ca, tau_lat), 0.0)
@@ -161,14 +164,12 @@ def rollout(coeffs_lon: jnp.ndarray,
         i, s_i, sv_i, sa_i, d_i, dv_i, da_i = inp
 
         moving = sv_i > 0.001
-        if low_vel_mode:
-            dp = dv_i
-            dpp = da_i
-        else:
-            sv_safe = jnp.where(moving, sv_i, 1.0)
-            dp = jnp.where(moving, dv_i / sv_safe, 0.0)
-            ddot = da_i - dp * sa_i                         # Werling Eq. (A.8)
-            dpp = jnp.where(moving, ddot / (sv_safe * sv_safe), 0.0)
+        sv_safe = jnp.where(moving, sv_i, 1.0)
+        dp_high = jnp.where(moving, dv_i / sv_safe, 0.0)
+        ddot = da_i - dp_high * sa_i                        # Werling Eq. (A.8)
+        dpp_high = jnp.where(moving, ddot / (sv_safe * sv_safe), 0.0)
+        dp = jnp.where(low_vel, dv_i, dp_high)
+        dpp = jnp.where(low_vel, da_i, dpp_high)
 
         idx = frenet_ops.interp_index(ref, s_i)
         lam = frenet_ops.interp_fraction(ref, s_i, idx)
@@ -177,14 +178,13 @@ def rollout(coeffs_lon: jnp.ndarray,
         # orientations (reactive_planner.py:841-873)
         theta_cl_move = jnp.arctan2(dp, 1.0)
         theta_gl_move = theta_cl_move + interp_theta
-        if low_vel_mode:
-            theta_cl_i = theta_cl_move
-            theta_gl_i = theta_gl_move
-        else:
-            theta_gl_still = jnp.where(i == 0, x0_orientation, theta_gl_prev)
-            theta_cl_still = theta_gl_still - interp_theta
-            theta_cl_i = jnp.where(moving, theta_cl_move, theta_cl_still)
-            theta_gl_i = jnp.where(moving, theta_gl_move, theta_gl_still)
+        theta_gl_still = jnp.where(i == 0, x0_orientation, theta_gl_prev)
+        theta_cl_still = theta_gl_still - interp_theta
+        # low-vel mode always uses the arclength-parameterized orientation;
+        # high-vel mode holds the previous global orientation at standstill
+        use_move = moving | low_vel
+        theta_cl_i = jnp.where(use_move, theta_cl_move, theta_cl_still)
+        theta_gl_i = jnp.where(use_move, theta_gl_move, theta_gl_still)
 
         k_r = frenet_ops.interp_table(ref.curv, idx, lam)
         k_r_d = frenet_ops.interp_table(ref.curv_d, idx, lam)

@@ -1,0 +1,329 @@
+"""Fleet planning: the replanning loop as a sharded device scan.
+
+The production execution path (SURVEY.md sections 2.3 and 7.5): thousands of
+independent planning problems replanned in lockstep, sharded over a device
+mesh.  The entire cyclic replanning loop of the reference driver
+(reference: run_planner.py:61-107) becomes ``lax.scan`` over cycles with
+carry = (curvilinear state, pose, liveness) — no host round-trips.  The
+per-cycle body regenerates the terminal-manifold grid on device around the
+carried state (set_desired_velocity semantics, reactive_planner.py:329-335),
+evaluates all candidates dense, and advances ``replanning_frequency`` steps
+along the selected optimum (the driver's intermediate-step walk,
+run_planner.py:94-107).
+
+Sharding: 1-D mesh over the fleet axis via ``shard_map``; per-cycle fleet
+aggregates (success counts, mean cost) are ICI ``psum`` reductions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from commonroad_rp_tpu.ops import collision as collision_ops
+from commonroad_rp_tpu.ops import cost as cost_ops
+from commonroad_rp_tpu.ops import frenet as frenet_ops
+from commonroad_rp_tpu.ops import grid as grid_ops
+from commonroad_rp_tpu.ops import kinematics as kin_ops
+from commonroad_rp_tpu.parallel.mesh import FLEET_AXIS
+
+
+class FleetScene(NamedTuple):
+    """Stacked per-problem scene tables (leading fleet axis F on every leaf)."""
+
+    ref: frenet_ops.RefPathTables          # leaves [F, P, ...]
+    obs_pose: jnp.ndarray                  # [F, M, T_scene, 3]
+    obs_half: jnp.ndarray                  # [F, M, 2]
+    obs_valid: jnp.ndarray                 # [F, M, T_scene]
+    boundary_seg: jnp.ndarray              # [F, B, 2, 2]
+    boundary_valid: jnp.ndarray            # [F, B]
+    desired_speed: jnp.ndarray             # [F]
+
+
+class FleetCarry(NamedTuple):
+    """Scan carry: per-problem planner state between cycles."""
+
+    x0_lon: jnp.ndarray                    # [F, 3] (s, s_dot, s_ddot)
+    x0_lat: jnp.ndarray                    # [F, 3] (d, d_dot, d_ddot)
+    orientation: jnp.ndarray               # [F]
+    velocity: jnp.ndarray                  # [F]
+    time_step: jnp.ndarray                 # [F] int32
+    alive: jnp.ndarray                     # [F] bool (False once planning fails)
+
+
+class CycleMetrics(NamedTuple):
+    """Per-cycle outputs stacked by the scan."""
+
+    found: jnp.ndarray                     # [F] bool
+    best_cost: jnp.ndarray                 # [F]
+    x: jnp.ndarray                         # [F] selected next x position
+    y: jnp.ndarray                         # [F]
+    fleet_success: jnp.ndarray             # scalar: psum of found across fleet
+    fleet_mean_cost: jnp.ndarray           # scalar
+
+
+def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
+                          time_step, alive,
+                          ref: frenet_ops.RefPathTables,
+                          obs_pose, obs_half, obs_valid,
+                          boundary_seg, boundary_valid, desired_speed,
+                          *, veh: kin_ops.VehicleArrays,
+                          static_grid: grid_ops.StaticGrid,
+                          dt: float, n_steps: int, replan_offset: int,
+                          low_vel_threshold: float, horizon: float):
+    """One planning cycle for ONE problem (vmapped over the fleet shard)."""
+    dtype = carry_lon.dtype
+
+    # velocity window (reactive_planner.py:332-334)
+    v_min = jnp.maximum(0.0, velocity - 0.125 * horizon * veh.a_max)
+    v_max = jnp.maximum(v_min + 5.0, velocity + 2.0)
+    low_vel = velocity < low_vel_threshold
+
+    coeffs_lon, coeffs_lat, traj_len = grid_ops.velocity_keeping_candidates(
+        carry_lon, carry_lat, v_min, v_max, low_vel, static_grid)
+
+    rollout = kin_ops.rollout(coeffs_lon, coeffs_lat, traj_len, ref, veh,
+                              orientation, dt, n_steps, low_vel)
+    costs = cost_ops.default_cost(rollout, w_a=jnp.asarray(5.0, dtype),
+                                  desired_d=jnp.asarray(0.0, dtype),
+                                  desired_speed=desired_speed)
+
+    # obstacle window starting at the problem's current scenario step
+    T = n_steps + 1
+    window_pose = jax.lax.dynamic_slice_in_dim(obs_pose, time_step, T, axis=1)
+    window_valid = jax.lax.dynamic_slice_in_dim(obs_valid, time_step, T, axis=1)
+    obstacles = collision_ops.ObstacleArrays(pose=window_pose, half_ext=obs_half,
+                                             valid=window_valid)
+    boundary = collision_ops.BoundaryArrays(segments=boundary_seg,
+                                            valid=boundary_valid)
+    collides = collision_ops.check_collisions(
+        rollout.x, rollout.y, rollout.theta_gl, obstacles, boundary,
+        veh.half_length, veh.half_width, veh.wb_rear_axle)
+
+    ok = rollout.feasible & ~collides
+    masked = jnp.where(ok, costs, jnp.asarray(jnp.inf, dtype))
+    best = jnp.argmin(masked)
+    found = jnp.any(ok)
+
+    # advance replan_offset steps along the optimum (run_planner.py:94-107;
+    # curvilinear carry from the trajectory arrays as in run_planner.py:85)
+    r = replan_offset
+    new_lon = jnp.stack([rollout.s[best, r], rollout.s_dot[best, r],
+                         rollout.s_ddot[best, r]])
+    new_lat = jnp.stack([rollout.d[best, r], rollout.d_dot[best, r],
+                         rollout.d_ddot[best, r]])
+    new_orientation = rollout.theta_gl[best, r]
+    new_velocity = rollout.v[best, r]
+
+    step_alive = alive & found
+    keep = lambda new, old: jnp.where(step_alive, new, old)
+    out_carry = (keep(new_lon, carry_lon), keep(new_lat, carry_lat),
+                 keep(new_orientation, orientation),
+                 keep(new_velocity, velocity),
+                 jnp.where(step_alive, time_step + r, time_step),
+                 step_alive)
+    metrics = (found, masked[best], rollout.x[best, r], rollout.y[best, r])
+    return out_carry, metrics
+
+
+def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
+                    static_grid: grid_ops.StaticGrid, dt: float, n_steps: int,
+                    replan_offset: int, low_vel_threshold: float,
+                    horizon: float):
+    """Build the sharded one-cycle fleet step function.
+
+    Returns step(carry: FleetCarry, scene: FleetScene) ->
+    (FleetCarry, CycleMetrics), with the fleet axis sharded over ``mesh`` and
+    fleet aggregates reduced with psum over ICI.
+    """
+    cycle = functools.partial(
+        _single_problem_cycle, veh=veh, static_grid=static_grid, dt=dt,
+        n_steps=n_steps, replan_offset=replan_offset,
+        low_vel_threshold=low_vel_threshold, horizon=horizon)
+    vcycle = jax.vmap(cycle)
+
+    def local_step(carry: FleetCarry, scene: FleetScene):
+        out_carry, (found, best_cost, x, y) = vcycle(
+            carry.x0_lon, carry.x0_lat, carry.orientation, carry.velocity,
+            carry.time_step, carry.alive, scene.ref, scene.obs_pose,
+            scene.obs_half, scene.obs_valid, scene.boundary_seg,
+            scene.boundary_valid, scene.desired_speed)
+        new_carry = FleetCarry(*out_carry)
+        # fleet-level aggregates: ICI collectives across the mesh
+        n_success = jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS)
+        finite = jnp.isfinite(best_cost)
+        cost_sum = jax.lax.psum(jnp.sum(jnp.where(finite, best_cost, 0.0)),
+                                FLEET_AXIS)
+        n_finite = jax.lax.psum(jnp.sum(finite.astype(jnp.int32)), FLEET_AXIS)
+        mean_cost = cost_sum / jnp.maximum(n_finite, 1)
+        metrics = CycleMetrics(found=found, best_cost=best_cost, x=x, y=y,
+                               fleet_success=n_success, fleet_mean_cost=mean_cost)
+        return new_carry, metrics
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
+                  FleetScene(ref=frenet_ops.RefPathTables(
+                      *([P(FLEET_AXIS)] * 8)),
+                      obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
+                      obs_valid=P(FLEET_AXIS), boundary_seg=P(FLEET_AXIS),
+                      boundary_valid=P(FLEET_AXIS),
+                      desired_speed=P(FLEET_AXIS))),
+        out_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
+                   CycleMetrics(found=P(FLEET_AXIS), best_cost=P(FLEET_AXIS),
+                                x=P(FLEET_AXIS), y=P(FLEET_AXIS),
+                                fleet_success=P(), fleet_mean_cost=P())),
+        check_rep=False)
+    return sharded
+
+
+def make_fleet_rollout(mesh: Mesh, veh: kin_ops.VehicleArrays,
+                       static_grid: grid_ops.StaticGrid, dt: float,
+                       n_steps: int, replan_offset: int,
+                       low_vel_threshold: float, horizon: float,
+                       n_cycles: int):
+    """The full replanning loop: jitted scan of the sharded fleet step."""
+    step = make_fleet_step(mesh, veh, static_grid, dt, n_steps, replan_offset,
+                           low_vel_threshold, horizon)
+
+    @jax.jit
+    def run(carry: FleetCarry, scene: FleetScene):
+        def body(c, _):
+            return step(c, scene)
+        return jax.lax.scan(body, carry, None, length=n_cycles)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# host-side fleet assembly
+# ---------------------------------------------------------------------------
+
+def build_fleet_scene(problems: List[dict], n_steps: int,
+                      dtype=jnp.float32) -> Tuple[FleetScene, FleetCarry]:
+    """Stack per-problem scene tables and initial carries with padding.
+
+    ``problems`` entries carry: 'ref_tables' (RefPathTables), 'obstacles'
+    (ObstacleArrays over the FULL scenario span + horizon padding),
+    'boundary' (BoundaryArrays), 'x0_lon', 'x0_lat', 'orientation',
+    'velocity', 'desired_speed', 'time_step'.
+    """
+    F = len(problems)
+    P_max = max(p["ref_tables"].s.shape[0] for p in problems)
+    M_max = max(max(p["obstacles"].pose.shape[0], 1) for p in problems)
+    T_max = max(p["obstacles"].pose.shape[1] if p["obstacles"].pose.shape[0]
+                else n_steps + 1 for p in problems)
+    B_max = max(max(p["boundary"].segments.shape[0], 1) for p in problems)
+
+    def pad_ref(tables: frenet_ops.RefPathTables) -> frenet_ops.RefPathTables:
+        n = tables.s.shape[0]
+        pad = P_max - n
+        if pad == 0:
+            return tables
+        # extend the arclength monotonically so searchsorted stays correct;
+        # padded vertices continue the final tangent direction
+        s_np = np.asarray(tables.s)
+        extra_s = s_np[-1] + np.arange(1, pad + 1) * 1e6
+        pts = np.asarray(tables.points)
+        tang = np.asarray(tables.tangent)
+        extra_pts = pts[-1] + np.outer(np.arange(1, pad + 1) * 1e6, tang[-1])
+        cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, a.dtype)])
+        rep = lambda a: jnp.concatenate(
+            [a, jnp.repeat(a[-1:], pad, axis=0)])
+        return frenet_ops.RefPathTables(
+            points=cat(tables.points, extra_pts), s=cat(tables.s, extra_s),
+            theta=rep(tables.theta), curv=rep(tables.curv),
+            curv_d=rep(tables.curv_d), curv_dd=rep(tables.curv_dd),
+            tangent=rep(tables.tangent), normal=rep(tables.normal))
+
+    refs = [pad_ref(p["ref_tables"]) for p in problems]
+    ref_stacked = frenet_ops.RefPathTables(
+        *[jnp.stack([getattr(r, f) for r in refs]).astype(dtype)
+          if f != "s" else jnp.stack([getattr(r, f) for r in refs]).astype(dtype)
+          for f in frenet_ops.RefPathTables._fields])
+
+    def pad_obstacles(obs: collision_ops.ObstacleArrays):
+        M = obs.pose.shape[0]
+        T = obs.pose.shape[1] if M else 0
+        pose = np.zeros((M_max, T_max, 3))
+        half = np.ones((M_max, 2))
+        valid = np.zeros((M_max, T_max), dtype=bool)
+        if M:
+            pose[:M, :T] = np.asarray(obs.pose)
+            half[:M] = np.asarray(obs.half_ext)
+            valid[:M, :T] = np.asarray(obs.valid)
+        return pose, half, valid
+
+    obs = [pad_obstacles(p["obstacles"]) for p in problems]
+    obs_pose = jnp.asarray(np.stack([o[0] for o in obs]), dtype)
+    obs_half = jnp.asarray(np.stack([o[1] for o in obs]), dtype)
+    obs_valid = jnp.asarray(np.stack([o[2] for o in obs]))
+
+    def pad_boundary(b: collision_ops.BoundaryArrays):
+        n = b.segments.shape[0]
+        seg = np.zeros((B_max, 2, 2))
+        valid = np.zeros(B_max, dtype=bool)
+        if n:
+            seg[:n] = np.asarray(b.segments)
+            valid[:n] = np.asarray(b.valid)
+        return seg, valid
+
+    bounds = [pad_boundary(p["boundary"]) for p in problems]
+    boundary_seg = jnp.asarray(np.stack([b[0] for b in bounds]), dtype)
+    boundary_valid = jnp.asarray(np.stack([b[1] for b in bounds]))
+
+    scene = FleetScene(
+        ref=ref_stacked, obs_pose=obs_pose, obs_half=obs_half,
+        obs_valid=obs_valid, boundary_seg=boundary_seg,
+        boundary_valid=boundary_valid,
+        desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype))
+    carry = FleetCarry(
+        x0_lon=jnp.asarray(np.stack([p["x0_lon"] for p in problems]), dtype),
+        x0_lat=jnp.asarray(np.stack([p["x0_lat"] for p in problems]), dtype),
+        orientation=jnp.asarray([p["orientation"] for p in problems], dtype),
+        velocity=jnp.asarray([p["velocity"] for p in problems], dtype),
+        time_step=jnp.asarray([p.get("time_step", 0) for p in problems],
+                              jnp.int32),
+        alive=jnp.ones(F, dtype=bool))
+    return scene, carry
+
+
+def problem_from_planner_setup(scenario, planning_problem, reference_path,
+                               n_steps: int, horizon_pad: int,
+                               dtype=jnp.float32) -> dict:
+    """Build one fleet-problem dict from scenario data (host, once)."""
+    from commonroad_rp_tpu.models.state import ReactivePlannerState
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+    from commonroad_rp_tpu.utils.coordinate_system import CoordinateSystem
+    from commonroad_rp_tpu.utils.general import retrieve_desired_velocity_from_pp
+
+    veh_cfg = VehicleConfiguration()
+    co = CoordinateSystem(reference_path, dtype=dtype)
+    x_0 = ReactivePlannerState.create_from_initial_state(
+        planning_problem.initial_state, veh_cfg.wheelbase, veh_cfg.wb_rear_axle)
+
+    s, d = co.convert_to_curvilinear_coords(*x_0.position)
+    # initial curvilinear derivatives: straight-driving approximation for the
+    # fleet path (the conformance facade uses the full Werling transform)
+    x0_lon = np.array([s, max(x_0.velocity, 0.0), 0.0])
+    x0_lat = np.array([d, 0.0, 0.0])
+
+    # scenario span: last dynamic-obstacle prediction step + horizon padding
+    last_step = 0
+    for obstacle in scenario.dynamic_obstacles:
+        if obstacle.trajectory:
+            last_step = max(last_step, obstacle.trajectory[-1].time_step)
+    span = last_step + horizon_pad + n_steps + 1
+    obstacles = collision_ops.compile_obstacles(scenario, 0, span - 1, 1,
+                                                dtype=dtype)
+    boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
+    return dict(ref_tables=co.tables, obstacles=obstacles, boundary=boundary,
+                x0_lon=x0_lon, x0_lat=x0_lat, orientation=x_0.orientation,
+                velocity=x_0.velocity, time_step=0,
+                desired_speed=retrieve_desired_velocity_from_pp(planning_problem))
