@@ -63,6 +63,15 @@ class CollisionChecker:
         self.dtype = dtype
         self.boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
         self._window_cache: Dict[Tuple[int, int, int], collision_ops.ObstacleArrays] = {}
+        self._corridor_cache: Dict[int, collision_ops.CorridorArrays] = {}
+
+    def corridor_for(self, coordinate_system) -> collision_ops.CorridorArrays:
+        """Drivable d-band tables for a reference path (cached per CoSys)."""
+        key = id(coordinate_system)
+        if key not in self._corridor_cache:
+            self._corridor_cache[key] = collision_ops.compile_corridor(
+                self.boundary, coordinate_system.tables, dtype=self.dtype)
+        return self._corridor_cache[key]
 
     def obstacles_for_window(self, t_start: int, horizon_steps: int,
                              factor: int) -> collision_ops.ObstacleArrays:
@@ -484,7 +493,13 @@ class ReactivePlanner:
         obstacles = self._cc.obstacles_for_window(
             self.x_0.time_step, self.N, self.config.planning.factor)
         boundary = self._cc.boundary
-        use_boundary = bool(boundary.segments.shape[0] > 0)
+        if boundary.segments.shape[0] == 0:
+            boundary_mode = "none"
+            corridor = None
+        else:
+            boundary_mode = self.config.planning.boundary_mode
+            corridor = self._cc.corridor_for(self._co) \
+                if boundary_mode == "corridor" else None
 
         constraints = self.config.planning.constraints_to_check
         flags = tuple(c in constraints for c in _CONSTRAINT_ORDER)
@@ -502,11 +517,12 @@ class ReactivePlanner:
             jnp.asarray(batch.coeffs_lon, dtype), jnp.asarray(batch.coeffs_lat, dtype),
             jnp.asarray(batch.traj_len), jnp.asarray(goal_valid),
             self._co.tables, veh, obstacles,
-            boundary if use_boundary else None,
+            boundary if boundary_mode == "segments" else None, corridor,
             jnp.asarray(self.x_0.orientation, dtype), cost_params,
             dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
             cost_structure=cf.structure, constraint_flags=flags,
-            use_boundary=use_boundary)
+            boundary_mode=boundary_mode,
+            continuous_check=self.config.planning.continuous_collision_check)
 
         found = bool(result.found)
         feasible = np.asarray(result.feasible)

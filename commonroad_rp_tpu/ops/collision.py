@@ -46,6 +46,21 @@ class BoundaryArrays(NamedTuple):
     valid: jnp.ndarray
 
 
+class CorridorArrays(NamedTuple):
+    """Drivable band in the reference-path frame: for each path vertex the
+    signed lateral offsets of the nearest road boundary on either side.
+
+    Fast equivalent of the boundary-obstacle collision check: instead of
+    testing the ego OBB against every boundary segment ([K, T, B] SAT), the
+    rollout's native (s, d) states are compared against gathered d-band
+    limits — O(K*T) gathers (SURVEY.md section 7 hard part 5: the boundary
+    needs a compact representation rather than the reference's triangle soup).
+    """
+
+    d_lo: jnp.ndarray                      # [P] right-side boundary offset (<0)
+    d_hi: jnp.ndarray                      # [P] left-side boundary offset (>0)
+
+
 # ---------------------------------------------------------------------------
 # host-side scene compilation
 # ---------------------------------------------------------------------------
@@ -159,6 +174,86 @@ def compile_road_boundary(scenario: Scenario, dtype=jnp.float64) -> BoundaryArra
                           valid=jnp.ones(len(seg), dtype=bool))
 
 
+def compile_corridor(boundary: BoundaryArrays, ref_tables,
+                     d_default: float = 1e4, dtype=jnp.float64) -> CorridorArrays:
+    """Build the drivable d-band along the reference path (host, once).
+
+    For each reference vertex, intersect the lateral normal line with every
+    road-boundary segment; the nearest intersection on each side bounds the
+    drivable band.  Where no boundary crosses the normal, a large default
+    keeps the side unbounded.
+    """
+    points = np.asarray(ref_tables.points, dtype=np.float64)       # [P, 2]
+    normals = np.asarray(ref_tables.normal, dtype=np.float64)      # [P, 2]
+    segments = np.asarray(boundary.segments, dtype=np.float64)     # [B, 2, 2]
+    P = len(points)
+    if segments.shape[0] == 0:
+        big = np.full(P, d_default)
+        return CorridorArrays(d_lo=jnp.asarray(-big, dtype),
+                              d_hi=jnp.asarray(big, dtype))
+
+    from commonroad_rp_tpu import native
+    if native.available():
+        d_lo, d_hi = native.corridor_sweep(points, normals, segments,
+                                           d_default=d_default)
+        return CorridorArrays(d_lo=jnp.asarray(d_lo, dtype),
+                              d_hi=jnp.asarray(d_hi, dtype))
+
+    a = segments[:, 0]                                             # [B, 2]
+    b = segments[:, 1]
+    ab = b - a                                                     # [B, 2]
+
+    # solve p + t*n = a + u*ab for each (vertex, segment) pair
+    # [P, B] linear systems via cross products
+    n = normals[:, None, :]                                        # [P, 1, 2]
+    ap = a[None, :, :] - points[:, None, :]                        # [P, B, 2]
+    denom = n[..., 0] * (-ab[None, :, 1]) - n[..., 1] * (-ab[None, :, 0])
+    denom = np.where(np.abs(denom) < 1e-12, np.nan, denom)
+    t = (ap[..., 0] * (-ab[None, :, 1]) - ap[..., 1] * (-ab[None, :, 0])) / denom
+    u = (n[..., 0] * ap[..., 1] - n[..., 1] * ap[..., 0]) / denom
+    hit = (u >= -1e-9) & (u <= 1 + 1e-9) & np.isfinite(t)
+
+    t_pos = np.where(hit & (t > 1e-9), t, np.inf)
+    t_neg = np.where(hit & (t < -1e-9), t, -np.inf)
+    d_hi = np.minimum(t_pos.min(axis=1), d_default)
+    d_lo = np.maximum(t_neg.max(axis=1), -d_default)
+    return CorridorArrays(d_lo=jnp.asarray(d_lo, dtype),
+                          d_hi=jnp.asarray(d_hi, dtype))
+
+
+def check_corridor(s: jnp.ndarray, d: jnp.ndarray, theta_cl: jnp.ndarray,
+                   ref_s: jnp.ndarray, corridor: CorridorArrays,
+                   half_length: jnp.ndarray, half_width: jnp.ndarray,
+                   wb_rear_axle: jnp.ndarray,
+                   active: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Road-boundary violation mask [K] from curvilinear rollout states.
+
+    The ego OBB (centered wb_rear_axle ahead of the rear axle along the
+    heading) is conservatively boxed in the road frame: lateral half-extent
+    |half_width cos(theta_cl)| + |half_length sin(theta_cl)|, probed at the
+    front/center/rear longitudinal stations.
+    """
+    P = ref_s.shape[0]
+    s_center = s + wb_rear_axle * jnp.cos(theta_cl)
+    d_center = d + wb_rear_axle * jnp.sin(theta_cl)
+    lat_ext = (half_width * jnp.abs(jnp.cos(theta_cl)) +
+               half_length * jnp.abs(jnp.sin(theta_cl)))
+    lon_ext = (half_length * jnp.abs(jnp.cos(theta_cl)) +
+               half_width * jnp.abs(jnp.sin(theta_cl)))
+
+    violate = jnp.zeros(s.shape, dtype=bool)
+    for offset in (-1.0, 0.0, 1.0):
+        s_probe = s_center + offset * lon_ext
+        seg = jnp.clip(jnp.searchsorted(ref_s, s_probe, side="right") - 1,
+                       0, P - 1)
+        lo = jnp.take(corridor.d_lo, seg)
+        hi = jnp.take(corridor.d_hi, seg)
+        violate = violate | (d_center + lat_ext > hi) | (d_center - lat_ext < lo)
+    if active is not None:
+        violate = violate & active
+    return jnp.any(violate, axis=-1)
+
+
 def pad_obstacles(obstacles: ObstacleArrays, m_max: int) -> ObstacleArrays:
     """Pad the obstacle axis to a fixed size (invalid rows) for static shapes."""
     M, T, _ = obstacles.pose.shape
@@ -238,6 +333,78 @@ def obb_segment_overlap(center, theta, half_ext, seg_a, seg_b) -> jnp.ndarray:
     r_box = _project_radius(normal, major, minor, half_ext)
     overlap = overlap & (dist <= r_box)
     return overlap
+
+
+def merge_obb_pairs(center: jnp.ndarray, theta: jnp.ndarray,
+                    half_ext: jnp.ndarray):
+    """Enclose consecutive OBB pairs along the time axis in one OBB each.
+
+    Batched closed-form equivalent of the C++ ``trajectory_preprocess_obb_sum``
+    (reference: reactive_planner.py:241, :1053): for poses at steps t and t+1
+    build an OBB with the circular-mean orientation whose half-extents cover
+    both boxes (projected corner radii plus center-offset projections).
+
+    Shapes: center [..., T, 2], theta [..., T], half_ext broadcastable
+    [..., 2]; returns (center_m [..., T-1, 2], theta_m [..., T-1],
+    half_m [..., T-1, 2]).
+    """
+    c0, c1 = center[..., :-1, :], center[..., 1:, :]
+    t0, t1 = theta[..., :-1], theta[..., 1:]
+    theta_m = jnp.arctan2(jnp.sin(t0) + jnp.sin(t1), jnp.cos(t0) + jnp.cos(t1))
+    center_m = 0.5 * (c0 + c1)
+    major, minor = _obb_axes(theta_m)
+
+    hl = jnp.broadcast_to(half_ext[..., None, 0], t0.shape)
+    hw = jnp.broadcast_to(half_ext[..., None, 1], t0.shape)
+
+    def cover(c_i, t_i):
+        # projection radius of box i onto the merged axes + center offset
+        d_theta = t_i - theta_m
+        r_major = hl * jnp.abs(jnp.cos(d_theta)) + hw * jnp.abs(jnp.sin(d_theta))
+        r_minor = hl * jnp.abs(jnp.sin(d_theta)) + hw * jnp.abs(jnp.cos(d_theta))
+        off = c_i - center_m
+        off_major = jnp.abs(jnp.sum(off * major, axis=-1))
+        off_minor = jnp.abs(jnp.sum(off * minor, axis=-1))
+        return off_major + r_major, off_minor + r_minor
+
+    a_major, a_minor = cover(c0, t0)
+    b_major, b_minor = cover(c1, t1)
+    half_m = jnp.stack([jnp.maximum(a_major, b_major),
+                        jnp.maximum(a_minor, b_minor)], axis=-1)
+    return center_m, theta_m, half_m
+
+
+def check_collisions_continuous(x: jnp.ndarray, y: jnp.ndarray,
+                                theta: jnp.ndarray,
+                                obstacles: ObstacleArrays,
+                                half_length: jnp.ndarray,
+                                half_width: jnp.ndarray,
+                                wb_rear_axle: jnp.ndarray) -> jnp.ndarray:
+    """Swept (continuous) collision mask [K]: merged consecutive ego OBBs vs
+    merged consecutive obstacle OBBs (reference continuous mode,
+    reactive_planner.py:1049-1058 with obstacle preprocessing at :240-244)."""
+    cx = x + wb_rear_axle * jnp.cos(theta)
+    cy = y + wb_rear_axle * jnp.sin(theta)
+    ego_center = jnp.stack([cx, cy], axis=-1)                         # [K, T, 2]
+    ego_half = jnp.stack([jnp.broadcast_to(half_length, theta.shape[:1]),
+                          jnp.broadcast_to(half_width, theta.shape[:1])],
+                         axis=-1)                                     # [K, 2]
+    ego_c, ego_t, ego_h = merge_obb_pairs(ego_center, theta, ego_half)
+
+    if obstacles.pose.shape[0] == 0:
+        return jnp.zeros(x.shape[0], dtype=bool)
+
+    obs_c, obs_t, obs_h = merge_obb_pairs(
+        obstacles.pose[..., :2], obstacles.pose[..., 2], obstacles.half_ext)
+    pair_valid = obstacles.valid[:, :-1] & obstacles.valid[:, 1:]     # [M, T-1]
+
+    # [K, T-1, M]
+    hit = obb_overlap(ego_c[:, :, None, :], ego_t[:, :, None],
+                      ego_h[:, :, None, :],
+                      obs_c.transpose(1, 0, 2)[None, :, :, :],
+                      obs_t.T[None, :, :], obs_h.transpose(1, 0, 2)[None, :, :, :])
+    hit = hit & pair_valid.T[None, :, :]
+    return jnp.any(hit, axis=(1, 2))
 
 
 def check_collisions(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,

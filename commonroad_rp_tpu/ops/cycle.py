@@ -57,7 +57,7 @@ class LevelResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "n_steps", "low_vel_mode", "cost_structure",
-                     "constraint_flags", "use_boundary"))
+                     "constraint_flags", "boundary_mode", "continuous_check"))
 def evaluate_level(coeffs_lon: jnp.ndarray,
                    coeffs_lat: jnp.ndarray,
                    traj_len: jnp.ndarray,
@@ -66,6 +66,7 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
                    veh: kinematics.VehicleArrays,
                    obstacles: collision_ops.ObstacleArrays,
                    boundary: Optional[collision_ops.BoundaryArrays],
+                   corridor: Optional[collision_ops.CorridorArrays],
                    x0_orientation: jnp.ndarray,
                    cost_params: CostParams,
                    *,
@@ -74,14 +75,17 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
                    low_vel_mode: bool,
                    cost_structure: tuple,
                    constraint_flags: tuple,
-                   use_boundary: bool) -> LevelResult:
+                   boundary_mode: str,
+                   continuous_check: bool = False) -> LevelResult:
     """Evaluate one sampling level end to end on device.
 
     ``goal_valid`` [K] pre-masks candidates (filter_goals_behind semantics,
     trajectories.py:545-550 — all-true in velocity mode).
     ``cost_structure`` is the static cost signature
     (models.cost_functions.*.structure); ``constraint_flags`` the 5-tuple of
-    active kinematic constraints in reference order.
+    active kinematic constraints in reference order.  ``boundary_mode``
+    selects the road-boundary check: 'corridor' (fast d-band gathers),
+    'segments' (exact OBB-vs-segment SAT), or 'none'.
     """
     cv, ca, ck, ckd, cy = constraint_flags
     rollout = kinematics.rollout(
@@ -104,8 +108,17 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
 
     collides = collision_ops.check_collisions(
         rollout.x, rollout.y, rollout.theta_gl, obstacles,
-        boundary if use_boundary else None,
+        boundary if boundary_mode == "segments" else None,
         veh.half_length, veh.half_width, veh.wb_rear_axle)
+    if boundary_mode == "corridor":
+        collides = collides | collision_ops.check_corridor(
+            rollout.s, rollout.d, rollout.theta_cl, ref.s, corridor,
+            veh.half_length, veh.half_width, veh.wb_rear_axle)
+    if continuous_check:
+        # swept-OBB pass between consecutive steps (reactive_planner.py:1049-1058)
+        collides = collides | collision_ops.check_collisions_continuous(
+            rollout.x, rollout.y, rollout.theta_gl, obstacles,
+            veh.half_length, veh.half_width, veh.wb_rear_axle)
 
     feasible = rollout.feasible & goal_valid
     ok = feasible & ~collides

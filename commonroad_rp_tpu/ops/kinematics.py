@@ -158,101 +158,108 @@ def rollout(coeffs_lon: jnp.ndarray,
     prefiltered = pre_acc | pre_vel
     pre_reason = jnp.where(pre_acc, REASON_ACCELERATION, REASON_VELOCITY)
 
-    # ---- per-step scan (the reference's per-step loop, :807-904) ----------
-    def step(carry, inp):
-        theta_gl_prev, kappa_gl_prev, feasible, reason = carry
-        i, s_i, sv_i, sa_i, d_i, dv_i, da_i = inp
+    # ---- per-step state transform, fully vectorized over [K, T] -----------
+    # (the reference's per-step loop, reactive_planner.py:807-904; the only
+    # sequential dependence — holding the previous global orientation while at
+    # standstill in high-velocity mode, :866 — is expressed as a
+    # last-moving-index cummax fill instead of a scan)
+    moving = s_dot > 0.001
+    sv_safe = jnp.where(moving, s_dot, 1.0)
+    dp_high = jnp.where(moving, d_dot / sv_safe, 0.0)
+    ddot = d_ddot - dp_high * s_ddot                        # Werling Eq. (A.8)
+    dpp_high = jnp.where(moving, ddot / (sv_safe * sv_safe), 0.0)
+    dp = jnp.where(low_vel, d_dot, dp_high)
+    dpp = jnp.where(low_vel, d_ddot, dpp_high)
 
-        moving = sv_i > 0.001
-        sv_safe = jnp.where(moving, sv_i, 1.0)
-        dp_high = jnp.where(moving, dv_i / sv_safe, 0.0)
-        ddot = da_i - dp_high * sa_i                        # Werling Eq. (A.8)
-        dpp_high = jnp.where(moving, ddot / (sv_safe * sv_safe), 0.0)
-        dp = jnp.where(low_vel, dv_i, dp_high)
-        dpp = jnp.where(low_vel, da_i, dpp_high)
+    idx = frenet_ops.interp_index(ref, s)
+    lam = frenet_ops.interp_fraction(ref, s, idx)
+    interp_theta = frenet_ops.interpolate_angle_at(ref, s, idx)
 
-        idx = frenet_ops.interp_index(ref, s_i)
-        lam = frenet_ops.interp_fraction(ref, s_i, idx)
-        interp_theta = frenet_ops.interpolate_angle_at(ref, s_i, idx)
+    # orientations (reactive_planner.py:841-873)
+    theta_cl_move = jnp.arctan2(dp, 1.0)
+    theta_gl_move = theta_cl_move + interp_theta
+    use_move = moving | low_vel
+    # standstill hold: theta_gl[i] = theta_gl_move at the last moving step
+    # <= i, else the initial orientation
+    last_move = jax.lax.cummax(
+        jnp.where(use_move, step_idx[None, :], jnp.int32(-1)), axis=1)
+    held = jnp.take_along_axis(theta_gl_move, jnp.maximum(last_move, 0), axis=1)
+    theta_gl = jnp.where(last_move >= 0, held, x0_orientation)
+    theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
-        # orientations (reactive_planner.py:841-873)
-        theta_cl_move = jnp.arctan2(dp, 1.0)
-        theta_gl_move = theta_cl_move + interp_theta
-        theta_gl_still = jnp.where(i == 0, x0_orientation, theta_gl_prev)
-        theta_cl_still = theta_gl_still - interp_theta
-        # low-vel mode always uses the arclength-parameterized orientation;
-        # high-vel mode holds the previous global orientation at standstill
-        use_move = moving | low_vel
-        theta_cl_i = jnp.where(use_move, theta_cl_move, theta_cl_still)
-        theta_gl_i = jnp.where(use_move, theta_gl_move, theta_gl_still)
+    k_r = frenet_ops.interp_table(ref.curv, idx, lam)
+    k_r_d = frenet_ops.interp_table(ref.curv_d, idx, lam)
 
-        k_r = frenet_ops.interp_table(ref.curv, idx, lam)
-        k_r_d = frenet_ops.interp_table(ref.curv_d, idx, lam)
+    # global curvature, velocity, acceleration (Werling App. A;
+    # reactive_planner.py:883-896, operation order preserved)
+    one_krd = 1.0 - k_r * d
+    cos_t = jnp.cos(theta_cl)
+    tan_t = jnp.tan(theta_cl)
+    kappa_gl = ((dpp + (k_r * dp + k_r_d * d) * tan_t) * cos_t *
+                (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
+    v = s_dot * (one_krd / cos_t)
+    a = (s_ddot * one_krd / cos_t + ((s_dot ** 2) / cos_t) *
+         (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
+          (k_r_d * d + k_r * dp)))
 
-        # global curvature, velocity, acceleration (Werling App. A;
-        # reactive_planner.py:883-896, operation order preserved)
-        one_krd = 1.0 - k_r * d_i
-        cos_t = jnp.cos(theta_cl_i)
-        tan_t = jnp.tan(theta_cl_i)
-        kappa_gl_i = ((dpp + (k_r * dp + k_r_d * d_i) * tan_t) * cos_t *
-                      (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
-        v_i = sv_i * (one_krd / cos_t)
-        a_i = (sa_i * one_krd / cos_t + ((sv_i ** 2) / cos_t) *
-               (one_krd * tan_t * (kappa_gl_i * one_krd / cos_t - k_r) -
-                (k_r_d * d_i + k_r * dp)))
+    # constraint violations, [K, T] each, in reference check order
+    # (reactive_planner.py:971-1017)
+    false_kt = jnp.zeros((K, T), dtype=bool)
+    first_col = step_idx[None, :] == 0
 
-        # constraint checks in reference order (reactive_planner.py:971-1017)
-        viol = jnp.zeros_like(feasible)
-        new_reason = jnp.full((K,), REASON_FEASIBLE, dtype=jnp.int32)
+    if check_velocity:
+        vel_viol = v < -_EPS
+    else:
+        vel_viol = false_kt
+    if check_kappa:
+        kappa_viol = jnp.abs(kappa_gl) > veh.kappa_max
+    else:
+        kappa_viol = false_kt
+    if check_yaw_rate:
+        yaw_rate = jnp.concatenate(
+            [jnp.zeros((K, 1), dtype=dtype), jnp.diff(theta_gl, axis=1) / dt],
+            axis=1)
+        yaw_viol = jnp.abs(jnp.round(yaw_rate, 5)) > veh.kappa_max * v
+    else:
+        yaw_viol = false_kt
+    if check_kappa_dot:
+        steering_angle = jnp.arctan2(veh.wheelbase * kappa_gl, 1.0)
+        kappa_dot_max = veh.v_delta_max / (veh.wheelbase *
+                                           jnp.cos(steering_angle) ** 2)
+        kd = jnp.concatenate(
+            [jnp.zeros((K, 1), dtype=dtype), jnp.diff(kappa_gl, axis=1) / dt],
+            axis=1)
+        kd_viol = jnp.abs(kd) > kappa_dot_max
+    else:
+        kd_viol = false_kt
+    if check_acceleration:
+        v_safe = jnp.where(v > veh.v_switch, v, 1.0)
+        a_hi = jnp.where(v > veh.v_switch, veh.a_max * veh.v_switch / v_safe,
+                         veh.a_max)
+        acc_viol = (a < -veh.a_max) | (a > a_hi)
+    else:
+        acc_viol = false_kt
+    del first_col
 
-        def add(viol, new_reason, flag, code):
-            fresh = flag & ~viol
-            return viol | flag, jnp.where(fresh, code, new_reason)
+    # first failing (step, constraint) in lazy-iteration order: step-major,
+    # then the fixed constraint order — encode as [K, T, 5] and take argmax
+    viol_stack = jnp.stack([vel_viol, kappa_viol, yaw_viol, kd_viol, acc_viol],
+                           axis=-1) & active[:, :, None]
+    viol_flat = viol_stack.reshape(K, T * 5)
+    any_viol = jnp.any(viol_flat, axis=1)
+    first_flat = jnp.argmax(viol_flat, axis=1)
+    reason_codes = jnp.asarray([REASON_VELOCITY, REASON_KAPPA, REASON_YAW_RATE,
+                                REASON_KAPPA_DOT, REASON_ACCELERATION],
+                               dtype=jnp.int32)
+    scan_reason = jnp.where(any_viol, reason_codes[first_flat % 5],
+                            jnp.int32(REASON_FEASIBLE))
+    scan_feasible = ~any_viol
 
-        if check_velocity:
-            viol, new_reason = add(viol, new_reason, v_i < -_EPS, REASON_VELOCITY)
-        if check_kappa:
-            viol, new_reason = add(viol, new_reason,
-                                   jnp.abs(kappa_gl_i) > veh.kappa_max, REASON_KAPPA)
-        if check_yaw_rate:
-            yaw_rate = jnp.where(i > 0, (theta_gl_i - theta_gl_prev) / dt, 0.0)
-            theta_dot_max = veh.kappa_max * v_i
-            yaw_flag = jnp.abs(jnp.round(yaw_rate, 5)) > theta_dot_max
-            viol, new_reason = add(viol, new_reason, yaw_flag, REASON_YAW_RATE)
-        if check_kappa_dot:
-            steering_angle = jnp.arctan2(veh.wheelbase * kappa_gl_i, 1.0)
-            kappa_dot_max = veh.v_delta_max / (veh.wheelbase *
-                                               jnp.cos(steering_angle) ** 2)
-            kappa_dot_i = jnp.where(i > 0, (kappa_gl_i - kappa_gl_prev) / dt, 0.0)
-            viol, new_reason = add(viol, new_reason,
-                                   jnp.abs(kappa_dot_i) > kappa_dot_max,
-                                   REASON_KAPPA_DOT)
-        if check_acceleration:
-            v_safe = jnp.where(v_i > veh.v_switch, v_i, 1.0)
-            a_hi = jnp.where(v_i > veh.v_switch, veh.a_max * veh.v_switch / v_safe,
-                             veh.a_max)
-            acc_flag = (a_i < -veh.a_max) | (a_i > a_hi)
-            viol, new_reason = add(viol, new_reason, acc_flag, REASON_ACCELERATION)
-
-        active_i = i < traj_len
-        fresh_fail = active_i & feasible & viol
-        reason = jnp.where(fresh_fail, new_reason, reason)
-        feasible = feasible & ~(active_i & viol)
-
-        # zero-pad outputs beyond each candidate's valid span, matching the
-        # reference's pre-allocated zero arrays (:781-791)
-        out = tuple(jnp.where(active_i, val, 0.0)
-                    for val in (theta_cl_i, theta_gl_i, kappa_gl_i, v_i, a_i))
-        return (theta_gl_i, kappa_gl_i, feasible, reason), out
-
-    init = (jnp.full((K,), x0_orientation, dtype=dtype),
-            jnp.zeros((K,), dtype=dtype),
-            jnp.ones((K,), dtype=bool),
-            jnp.full((K,), REASON_FEASIBLE, dtype=jnp.int32))
-    xs = (step_idx,
-          s.T, s_dot.T, s_ddot.T, d.T, d_dot.T, d_ddot.T)
-    (_, _, scan_feasible, scan_reason), ys = jax.lax.scan(step, init, xs)
-    theta_cl, theta_gl, kappa_gl, v, a = (y.T for y in ys)
+    # zero-pad outputs beyond each candidate's valid span, matching the
+    # reference's pre-allocated zero arrays (:781-791)
+    pad = lambda arr: jnp.where(active, arr, 0.0)
+    theta_cl, theta_gl, kappa_gl, v, a = (pad(arr) for arr in
+                                          (theta_cl, theta_gl, kappa_gl, v, a))
 
     # ---- Frenet -> Cartesian (replaces per-point pycrccosy calls, :908-917)
     x, y_pos, in_domain = frenet_ops.to_cartesian(ref, s, d)

@@ -41,8 +41,8 @@ class FleetScene(NamedTuple):
     obs_pose: jnp.ndarray                  # [F, M, T_scene, 3]
     obs_half: jnp.ndarray                  # [F, M, 2]
     obs_valid: jnp.ndarray                 # [F, M, T_scene]
-    boundary_seg: jnp.ndarray              # [F, B, 2, 2]
-    boundary_valid: jnp.ndarray            # [F, B]
+    corridor_lo: jnp.ndarray               # [F, P] drivable band lower offset
+    corridor_hi: jnp.ndarray               # [F, P] drivable band upper offset
     desired_speed: jnp.ndarray             # [F]
 
 
@@ -72,7 +72,7 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                           time_step, alive,
                           ref: frenet_ops.RefPathTables,
                           obs_pose, obs_half, obs_valid,
-                          boundary_seg, boundary_valid, desired_speed,
+                          corridor_lo, corridor_hi, desired_speed,
                           *, veh: kin_ops.VehicleArrays,
                           static_grid: grid_ops.StaticGrid,
                           dt: float, n_steps: int, replan_offset: int,
@@ -100,10 +100,12 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
     window_valid = jax.lax.dynamic_slice_in_dim(obs_valid, time_step, T, axis=1)
     obstacles = collision_ops.ObstacleArrays(pose=window_pose, half_ext=obs_half,
                                              valid=window_valid)
-    boundary = collision_ops.BoundaryArrays(segments=boundary_seg,
-                                            valid=boundary_valid)
     collides = collision_ops.check_collisions(
-        rollout.x, rollout.y, rollout.theta_gl, obstacles, boundary,
+        rollout.x, rollout.y, rollout.theta_gl, obstacles, None,
+        veh.half_length, veh.half_width, veh.wb_rear_axle)
+    corridor = collision_ops.CorridorArrays(d_lo=corridor_lo, d_hi=corridor_hi)
+    collides = collides | collision_ops.check_corridor(
+        rollout.s, rollout.d, rollout.theta_cl, ref.s, corridor,
         veh.half_length, veh.half_width, veh.wb_rear_axle)
 
     ok = rollout.feasible & ~collides
@@ -152,8 +154,8 @@ def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
         out_carry, (found, best_cost, x, y) = vcycle(
             carry.x0_lon, carry.x0_lat, carry.orientation, carry.velocity,
             carry.time_step, carry.alive, scene.ref, scene.obs_pose,
-            scene.obs_half, scene.obs_valid, scene.boundary_seg,
-            scene.boundary_valid, scene.desired_speed)
+            scene.obs_half, scene.obs_valid, scene.corridor_lo,
+            scene.corridor_hi, scene.desired_speed)
         new_carry = FleetCarry(*out_carry)
         # fleet-level aggregates: ICI collectives across the mesh
         n_success = jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS)
@@ -172,8 +174,8 @@ def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
                   FleetScene(ref=frenet_ops.RefPathTables(
                       *([P(FLEET_AXIS)] * 8)),
                       obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
-                      obs_valid=P(FLEET_AXIS), boundary_seg=P(FLEET_AXIS),
-                      boundary_valid=P(FLEET_AXIS),
+                      obs_valid=P(FLEET_AXIS), corridor_lo=P(FLEET_AXIS),
+                      corridor_hi=P(FLEET_AXIS),
                       desired_speed=P(FLEET_AXIS))),
         out_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
                    CycleMetrics(found=P(FLEET_AXIS), best_cost=P(FLEET_AXIS),
@@ -219,7 +221,6 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     M_max = max(max(p["obstacles"].pose.shape[0], 1) for p in problems)
     T_max = max(p["obstacles"].pose.shape[1] if p["obstacles"].pose.shape[0]
                 else n_steps + 1 for p in problems)
-    B_max = max(max(p["boundary"].segments.shape[0], 1) for p in problems)
 
     def pad_ref(tables: frenet_ops.RefPathTables) -> frenet_ops.RefPathTables:
         n = tables.s.shape[0]
@@ -265,23 +266,21 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     obs_half = jnp.asarray(np.stack([o[1] for o in obs]), dtype)
     obs_valid = jnp.asarray(np.stack([o[2] for o in obs]))
 
-    def pad_boundary(b: collision_ops.BoundaryArrays):
-        n = b.segments.shape[0]
-        seg = np.zeros((B_max, 2, 2))
-        valid = np.zeros(B_max, dtype=bool)
-        if n:
-            seg[:n] = np.asarray(b.segments)
-            valid[:n] = np.asarray(b.valid)
-        return seg, valid
+    def pad_corridor(c: collision_ops.CorridorArrays):
+        n = c.d_lo.shape[0]
+        lo = np.full(P_max, -1e4)
+        hi = np.full(P_max, 1e4)
+        lo[:n] = np.asarray(c.d_lo)
+        hi[:n] = np.asarray(c.d_hi)
+        return lo, hi
 
-    bounds = [pad_boundary(p["boundary"]) for p in problems]
-    boundary_seg = jnp.asarray(np.stack([b[0] for b in bounds]), dtype)
-    boundary_valid = jnp.asarray(np.stack([b[1] for b in bounds]))
+    corrs = [pad_corridor(p["corridor"]) for p in problems]
+    corridor_lo = jnp.asarray(np.stack([c[0] for c in corrs]), dtype)
+    corridor_hi = jnp.asarray(np.stack([c[1] for c in corrs]), dtype)
 
     scene = FleetScene(
         ref=ref_stacked, obs_pose=obs_pose, obs_half=obs_half,
-        obs_valid=obs_valid, boundary_seg=boundary_seg,
-        boundary_valid=boundary_valid,
+        obs_valid=obs_valid, corridor_lo=corridor_lo, corridor_hi=corridor_hi,
         desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype))
     carry = FleetCarry(
         x0_lon=jnp.asarray(np.stack([p["x0_lon"] for p in problems]), dtype),
@@ -323,7 +322,9 @@ def problem_from_planner_setup(scenario, planning_problem, reference_path,
     obstacles = collision_ops.compile_obstacles(scenario, 0, span - 1, 1,
                                                 dtype=dtype)
     boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
+    corridor = collision_ops.compile_corridor(boundary, co.tables, dtype=dtype)
     return dict(ref_tables=co.tables, obstacles=obstacles, boundary=boundary,
+                corridor=corridor,
                 x0_lon=x0_lon, x0_lat=x0_lat, orientation=x_0.orientation,
                 velocity=x_0.velocity, time_step=0,
                 desired_speed=retrieve_desired_velocity_from_pp(planning_problem))

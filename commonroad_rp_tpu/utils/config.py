@@ -55,6 +55,10 @@ class PlanningConfiguration:
     constraints_to_check: List[str] = field(
         default_factory=lambda: ["velocity", "acceleration", "kappa", "kappa_dot", "yaw_rate"])
     standstill_lookahead: int = 10
+    # TPU-build extension: road-boundary check implementation
+    # "corridor": drivable d-band gathers along the reference path (fast)
+    # "segments": exact OBB-vs-boundary-segment SAT tests
+    boundary_mode: str = "corridor"
 
     def __post_init__(self):
         self.planning_horizon = self.dt * self.time_steps_computation

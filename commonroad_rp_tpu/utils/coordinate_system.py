@@ -93,7 +93,16 @@ class CoordinateSystem:
 
     def convert_to_curvilinear_coords(self, x: float, y: float) -> np.ndarray:
         """(x, y) -> (s, d) by orthogonal polyline projection
-        (utils_coordinate_system.py:176-178). Host/numpy."""
+        (utils_coordinate_system.py:176-178). Native C++ when available,
+        numpy fallback."""
+        from commonroad_rp_tpu import native
+        if native.available():
+            s_out, d_out, inside = native.clcs_project(
+                self._reference, self._ref_pos, self._tangent, self._normal,
+                np.array([[x, y]]))
+            if inside < 1:
+                raise ValueError("Point outside the curvilinear projection domain")
+            return np.array([s_out[0], d_out[0]])
         p = np.array([x, y])
         a = self._reference[:-1]
         t_hat = self._tangent[:-1]
