@@ -108,6 +108,8 @@ class ReactivePlanner:
         self._infeasible_reason_dict: Dict[str, int] = {}
         self._optimal_cost: float = 0.0
         self._planning_times_list: List[float] = []
+        from commonroad_rp_tpu.utils.profiling import StageTimers
+        self.stage_timers = StageTimers()
         self._record_state_list: List[ReactivePlannerState] = []
         self._record_input_list: List[InputState] = []
         self.stored_trajectories: Optional[BundleSummary] = None
@@ -438,9 +440,10 @@ class ReactivePlanner:
         i = 1 if current_sampling_level is None else current_sampling_level
 
         while optimal_trajectory is None and i < self.sampling_level:
-            batch = self.sampling_space.generate_trajectories_at_level(
-                i, np.asarray(x_0_lon), np.asarray(x_0_lat),
-                self.config.sampling.longitudinal_mode, self._low_vel_mode)
+            with self.stage_timers.stage("grid_generation"):
+                batch = self.sampling_space.generate_trajectories_at_level(
+                    i, np.asarray(x_0_lon), np.asarray(x_0_lat),
+                    self.config.sampling.longitudinal_mode, self._low_vel_mode)
             logger.info("Sampling level %d/%d: %d candidates", i + 1,
                         self.sampling_level, batch.size)
             optimal_trajectory, bundle_stats = self._get_optimal_trajectory(batch)
@@ -529,6 +532,7 @@ class ReactivePlanner:
         collides = np.asarray(result.collides)
         reasons = np.asarray(result.reason)
         costs = np.asarray(result.costs)
+        self.stage_timers.record("device_cycle", time.time() - t0)
         logger.info("Device cycle evaluation took \t%.7fs", time.time() - t0)
 
         # statistics with reference lazy-iteration semantics
