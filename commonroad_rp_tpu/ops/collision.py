@@ -241,13 +241,19 @@ def check_corridor(s: jnp.ndarray, d: jnp.ndarray, theta_cl: jnp.ndarray,
     lon_ext = (half_length * jnp.abs(jnp.cos(theta_cl)) +
                half_width * jnp.abs(jnp.sin(theta_cl)))
 
+    from commonroad_rp_tpu.ops.frenet import _searchsorted_right, onehot_lookup
+    import jax as _jax
+    bands = jnp.stack([corridor.d_lo, corridor.d_hi], axis=1)        # [P, 2]
+
     violate = jnp.zeros(s.shape, dtype=bool)
     for offset in (-1.0, 0.0, 1.0):
         s_probe = s_center + offset * lon_ext
-        seg = jnp.clip(jnp.searchsorted(ref_s, s_probe, side="right") - 1,
-                       0, P - 1)
-        lo = jnp.take(corridor.d_lo, seg)
-        hi = jnp.take(corridor.d_hi, seg)
+        seg = jnp.clip(_searchsorted_right(ref_s, s_probe) - 1, 0, P - 1)
+        if _jax.default_backend() == "tpu":
+            rows = onehot_lookup(bands, seg)
+        else:
+            rows = jnp.take(bands, seg, axis=0)
+        lo, hi = rows[..., 0], rows[..., 1]
         violate = violate | (d_center + lat_ext > hi) | (d_center - lat_ext < lo)
     if active is not None:
         violate = violate & active

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -71,6 +72,18 @@ def from_polyline(polyline: np.ndarray, dtype=jnp.float64) -> RefPathTables:
 # interpolation-index helpers (reference-quirk preserving)
 # ---------------------------------------------------------------------------
 
+def _searchsorted_right(table: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """searchsorted(side='right') via dense comparison.
+
+    TPU gathers/binary-search loops serialize badly; the dense [N, P]
+    comparison + sum is fully vectorized and exact for sorted tables.
+    """
+    if jax.default_backend() == "tpu":
+        return jnp.sum(table[None, :] <= s.reshape(-1, 1),
+                       axis=1).reshape(s.shape).astype(jnp.int32)
+    return jnp.searchsorted(table, s, side="right").astype(jnp.int32)
+
+
 def interp_index(ref: RefPathTables, s: jnp.ndarray) -> jnp.ndarray:
     """Index used by the reference for table interpolation.
 
@@ -80,8 +93,55 @@ def interp_index(ref: RefPathTables, s: jnp.ndarray) -> jnp.ndarray:
     index -1 (wrapping to the last vertex).  Returned indices may be -1; use
     ``gather_wrap`` to reproduce numpy's negative-index wrapping.
     """
-    idx = jnp.searchsorted(ref.s, s, side="right").astype(jnp.int32) - 1
+    idx = _searchsorted_right(ref.s, s) - 1
     return jnp.where(s >= ref.s[-1], jnp.int32(-1), idx)
+
+
+def onehot_lookup(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather rows of [P, C] ``tables`` at (already wrapped) indices via a
+    one-hot masked reduction — exact (single nonzero term per output) and
+    TPU-friendly (no serialized gather).  Shapes: idx [...]; out [..., C]."""
+    P = tables.shape[0]
+    flat = idx.reshape(-1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (flat.shape[0], P), 1)
+    onehot = (iota == flat[:, None]).astype(tables.dtype)
+    vals = jax.lax.dot_general(
+        onehot, tables, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=tables.dtype)
+    return vals.reshape(idx.shape + (tables.shape[1],))
+
+
+class InterpValues(NamedTuple):
+    """Per-point reference-table values at idx and idx+1 (wrapped)."""
+
+    s_lo: jnp.ndarray
+    s_hi: jnp.ndarray
+    theta_lo: jnp.ndarray
+    theta_hi: jnp.ndarray
+    curv_lo: jnp.ndarray
+    curv_hi: jnp.ndarray
+    curv_d_lo: jnp.ndarray
+    curv_d_hi: jnp.ndarray
+
+
+def lookup_interp_values(ref: RefPathTables, idx: jnp.ndarray) -> InterpValues:
+    """All interpolation-table values for a batch of indices in two fused
+    lookups (replaces eight separate gathers in the hot loop)."""
+    P = ref.s.shape[0]
+    idx_mod = idx % P
+    packed = jnp.stack([ref.s, ref.theta, ref.curv, ref.curv_d], axis=1)
+    packed_next = jnp.concatenate([packed[1:], packed[:1]], axis=0)
+    if jax.default_backend() == "tpu":
+        lo = onehot_lookup(packed, idx_mod)
+        hi = onehot_lookup(packed_next, idx_mod)
+    else:
+        lo = jnp.take(packed, idx_mod, axis=0)
+        hi = jnp.take(packed_next, idx_mod, axis=0)
+    return InterpValues(s_lo=lo[..., 0], s_hi=hi[..., 0],
+                        theta_lo=lo[..., 1], theta_hi=hi[..., 1],
+                        curv_lo=lo[..., 2], curv_hi=hi[..., 2],
+                        curv_d_lo=lo[..., 3], curv_d_hi=hi[..., 3])
 
 
 def gather_wrap(table: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -141,13 +201,16 @@ def to_cartesian(ref: RefPathTables, s: jnp.ndarray, d: jnp.ndarray
     Shapes: s, d arbitrary (broadcast together); returns (x, y, in_domain).
     """
     P = ref.s.shape[0]
-    seg = jnp.clip(jnp.searchsorted(ref.s, s, side="right") - 1, 0, P - 2)
-    base = jnp.take(ref.points, seg, axis=0)
-    tang = jnp.take(ref.tangent, seg, axis=0)
-    norm = jnp.take(ref.normal, seg, axis=0)
-    ds = s - jnp.take(ref.s, seg)
-    x = base[..., 0] + ds * tang[..., 0] + d * norm[..., 0]
-    y = base[..., 1] + ds * tang[..., 1] + d * norm[..., 1]
+    seg = jnp.clip(_searchsorted_right(ref.s, s) - 1, 0, P - 2)
+    geometry = jnp.concatenate([ref.points, ref.tangent, ref.normal,
+                                ref.s[:, None]], axis=1)        # [P, 7]
+    if jax.default_backend() == "tpu":
+        rows = onehot_lookup(geometry, seg)
+    else:
+        rows = jnp.take(geometry, seg, axis=0)
+    ds = s - rows[..., 6]
+    x = rows[..., 0] + ds * rows[..., 2] + d * rows[..., 4]
+    y = rows[..., 1] + ds * rows[..., 3] + d * rows[..., 5]
     in_domain = (s >= ref.s[0]) & (s <= ref.s[-1])
     return x, y, in_domain
 

@@ -172,8 +172,11 @@ def rollout(coeffs_lon: jnp.ndarray,
     dpp = jnp.where(low_vel, d_ddot, dpp_high)
 
     idx = frenet_ops.interp_index(ref, s)
-    lam = frenet_ops.interp_fraction(ref, s, idx)
-    interp_theta = frenet_ops.interpolate_angle_at(ref, s, idx)
+    tv = frenet_ops.lookup_interp_values(ref, idx)
+    lam = (s - tv.s_lo) / (tv.s_hi - tv.s_lo)
+    interp_theta = frenet_ops.wrap_two_pi(
+        (tv.theta_hi - tv.theta_lo) * (s - tv.s_lo) / (tv.s_hi - tv.s_lo)
+        + tv.theta_lo)
 
     # orientations (reactive_planner.py:841-873)
     theta_cl_move = jnp.arctan2(dp, 1.0)
@@ -187,8 +190,8 @@ def rollout(coeffs_lon: jnp.ndarray,
     theta_gl = jnp.where(last_move >= 0, held, x0_orientation)
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
-    k_r = frenet_ops.interp_table(ref.curv, idx, lam)
-    k_r_d = frenet_ops.interp_table(ref.curv_d, idx, lam)
+    k_r = (tv.curv_hi - tv.curv_lo) * lam + tv.curv_lo
+    k_r_d = (tv.curv_d_hi - tv.curv_d_lo) * lam + tv.curv_d_lo
 
     # global curvature, velocity, acceleration (Werling App. A;
     # reactive_planner.py:883-896, operation order preserved)
