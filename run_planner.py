@@ -19,6 +19,9 @@ def main():
     parser.add_argument("--scenario", default="ZAM_Over-1_1")
     parser.add_argument("--platform", default=None,
                         help="force a jax platform (cpu / tpu)")
+    parser.add_argument("--dtype", default=None, choices=["float32", "float64"],
+                        help="planner kernel dtype (default: float64 on cpu, "
+                             "float32 on tpu)")
     parser.add_argument("--max-steps", type=int, default=300)
     parser.add_argument("--evaluate", action="store_true",
                         help="run the solution-feasibility evaluation harness")
@@ -47,6 +50,12 @@ def main():
     config = ReactivePlannerConfiguration.load(
         f"configurations/{args.scenario}.yaml", filename)
     config.update()
+
+    # f64 is emulated (slow) on TPU; default the kernel dtype by backend
+    if args.dtype:
+        config.debug.kernel_dtype = args.dtype
+    elif jax.default_backend() == "tpu":
+        config.debug.kernel_dtype = "float32"
 
     initialize_logger(config)
     logger = logging.getLogger("RP_LOGGER")
