@@ -234,18 +234,20 @@ def check_corridor(s: jnp.ndarray, d: jnp.ndarray, theta_cl: jnp.ndarray,
     front/center/rear longitudinal stations.
     """
     P = ref_s.shape[0]
-    s_center = s + wb_rear_axle * jnp.cos(theta_cl)
-    d_center = d + wb_rear_axle * jnp.sin(theta_cl)
-    lat_ext = (half_width * jnp.abs(jnp.cos(theta_cl)) +
-               half_length * jnp.abs(jnp.sin(theta_cl)))
-    lon_ext = (half_length * jnp.abs(jnp.cos(theta_cl)) +
-               half_width * jnp.abs(jnp.sin(theta_cl)))
+    # T-major internally (candidates on the vector lanes)
+    s_t, d_t, theta_t = s.T, d.T, theta_cl.T
+    s_center = s_t + wb_rear_axle * jnp.cos(theta_t)
+    d_center = d_t + wb_rear_axle * jnp.sin(theta_t)
+    lat_ext = (half_width * jnp.abs(jnp.cos(theta_t)) +
+               half_length * jnp.abs(jnp.sin(theta_t)))
+    lon_ext = (half_length * jnp.abs(jnp.cos(theta_t)) +
+               half_width * jnp.abs(jnp.sin(theta_t)))
 
     from commonroad_rp_tpu.ops.frenet import _searchsorted_right, onehot_lookup
     import jax as _jax
     bands = jnp.stack([corridor.d_lo, corridor.d_hi], axis=1)        # [P, 2]
 
-    violate = jnp.zeros(s.shape, dtype=bool)
+    violate = jnp.zeros(s_t.shape, dtype=bool)
     for offset in (-1.0, 0.0, 1.0):
         s_probe = s_center + offset * lon_ext
         seg = jnp.clip(_searchsorted_right(ref_s, s_probe) - 1, 0, P - 1)
@@ -256,8 +258,8 @@ def check_corridor(s: jnp.ndarray, d: jnp.ndarray, theta_cl: jnp.ndarray,
         lo, hi = rows[..., 0], rows[..., 1]
         violate = violate | (d_center + lat_ext > hi) | (d_center - lat_ext < lo)
     if active is not None:
-        violate = violate & active
-    return jnp.any(violate, axis=-1)
+        violate = violate & active.T
+    return jnp.any(violate, axis=0)
 
 
 def pad_obstacles(obstacles: ObstacleArrays, m_max: int) -> ObstacleArrays:
@@ -424,31 +426,54 @@ def check_collisions(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
     the ego OBB is centered at the rear-axle position shifted forward by
     wb_rear_axle along the heading.
     """
-    cx = x + wb_rear_axle * jnp.cos(theta)                   # [K, T]
-    cy = y + wb_rear_axle * jnp.sin(theta)
-    ego_center = jnp.stack([cx, cy], axis=-1)                # [K, T, 2]
-    ego_half = jnp.stack([jnp.broadcast_to(half_length, x.shape),
-                          jnp.broadcast_to(half_width, x.shape)], axis=-1)
+    # T-major / K-minor internally: broadcast layout [T, M|B, K] keeps the
+    # candidate axis on the vector lanes (M and B are small)
+    theta_t = theta.T                                        # [T, K]
+    cx = x.T + wb_rear_axle * jnp.cos(theta_t)
+    cy = y.T + wb_rear_axle * jnp.sin(theta_t)
+    e_cos = jnp.cos(theta_t)[:, None, :]                     # [T, 1, K]
+    e_sin = jnp.sin(theta_t)[:, None, :]
+    ex = cx[:, None, :]
+    ey = cy[:, None, :]
+    ehl, ehw = half_length, half_width
 
     collides = jnp.zeros(x.shape[0], dtype=bool)
 
     if obstacles.pose.shape[0] > 0:
-        obs_center = obstacles.pose[None, :, :, :2].transpose(0, 2, 1, 3)  # [1, T, M, 2]
-        obs_theta = obstacles.pose[None, :, :, 2].transpose(0, 2, 1)       # [1, T, M]
-        obs_half = obstacles.half_ext[None, None, :, :]                    # [1, 1, M, 2]
-        hit = obb_overlap(ego_center[:, :, None, :], theta[:, :, None],
-                          ego_half[:, :, None, :],
-                          obs_center, obs_theta, obs_half)                 # [K, T, M]
-        hit = hit & obstacles.valid.T[None, :, :]
-        collides = collides | jnp.any(hit, axis=(1, 2))
+        ox = obstacles.pose[..., 0].T[:, :, None]            # [T, M, 1]
+        oy = obstacles.pose[..., 1].T[:, :, None]
+        otheta = obstacles.pose[..., 2].T[:, :, None]
+        ohl = obstacles.half_ext[:, 0][None, :, None]
+        ohw = obstacles.half_ext[:, 1][None, :, None]
+
+        o_cos = jnp.cos(otheta)
+        o_sin = jnp.sin(otheta)
+        dx = ox - ex                                         # [T, M, K]
+        dy = oy - ey
+        rel_cos = jnp.abs(e_cos * o_cos + e_sin * o_sin)
+        rel_sin = jnp.abs(o_sin * e_cos - o_cos * e_sin)
+
+        sep = (jnp.abs(dx * e_cos + dy * e_sin) >
+               ehl + ohl * rel_cos + ohw * rel_sin)
+        sep = sep | (jnp.abs(-dx * e_sin + dy * e_cos) >
+                     ehw + ohl * rel_sin + ohw * rel_cos)
+        sep = sep | (jnp.abs(dx * o_cos + dy * o_sin) >
+                     ohl + ehl * rel_cos + ehw * rel_sin)
+        sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
+                     ohw + ehl * rel_sin + ehw * rel_cos)
+        hit = ~sep & obstacles.valid.T[:, :, None]
+        collides = collides | jnp.any(hit, axis=(0, 1))
 
     if boundary is not None and boundary.segments.shape[0] > 0:
-        seg_a = boundary.segments[None, None, :, 0, :]                     # [1, 1, B, 2]
-        seg_b = boundary.segments[None, None, :, 1, :]
-        hit_b = obb_segment_overlap(ego_center[:, :, None, :],
-                                    theta[:, :, None],
-                                    ego_half[:, :, None, :], seg_a, seg_b)  # [K, T, B]
-        hit_b = hit_b & boundary.valid[None, None, :]
-        collides = collides | jnp.any(hit_b, axis=(1, 2))
+        ego_center = jnp.stack([cx, cy], axis=-1)            # [T, K, 2]
+        ego_half = jnp.stack([jnp.broadcast_to(ehl, cx.shape),
+                              jnp.broadcast_to(ehw, cx.shape)], axis=-1)
+        seg_a = boundary.segments[None, :, None, 0, :]       # [1, B, 1, 2]
+        seg_b = boundary.segments[None, :, None, 1, :]
+        hit_b = obb_segment_overlap(ego_center[:, None, :, :],
+                                    theta_t[:, None, :],
+                                    ego_half[:, None, :, :], seg_a, seg_b)
+        hit_b = hit_b & boundary.valid[None, :, None]        # [T, B, K]
+        collides = collides | jnp.any(hit_b, axis=(0, 1))
 
     return collides

@@ -127,22 +127,27 @@ def rollout(coeffs_lon: jnp.ndarray,
     low_vel = jnp.asarray(low_vel_mode, dtype=bool)
     t_vec = jnp.arange(T, dtype=dtype) * dt
     step_idx = jnp.arange(T, dtype=jnp.int32)
-    active = step_idx[None, :] < traj_len[:, None]          # [K, T]
 
-    cl = coeffs_lon[:, None, :]
+    # All internal math runs T-major ([T, K]): K is the large axis and must
+    # occupy the 128-wide vector lanes; with T (= 21..61) minor, 5/6 of every
+    # lane is padding.  The public API stays [K, T] (transposed at return).
+    active = step_idx[:, None] < traj_len[None, :]          # [T, K]
+
+    cl = coeffs_lon[None, :, :]
     # longitudinal rollout (reactive_planner.py:751-753), zero-padded beyond
     # traj_len like the reference's pre-allocated arrays (:740-745)
-    s = jnp.where(active, poly.eval_position(cl, t_vec[None, :]), 0.0)
-    s_dot = jnp.where(active, poly.eval_velocity(cl, t_vec[None, :]), 0.0)
-    s_ddot = jnp.where(active, poly.eval_acceleration(cl, t_vec[None, :]), 0.0)
+    tau_lon = t_vec[:, None]
+    s = jnp.where(active, poly.eval_position(cl, tau_lon), 0.0)
+    s_dot = jnp.where(active, poly.eval_velocity(cl, tau_lon), 0.0)
+    s_ddot = jnp.where(active, poly.eval_acceleration(cl, tau_lon), 0.0)
 
     # lateral parameter: time, or travelled arclength in low-velocity mode
     # (reactive_planner.py:756-772)
     tau_lat = jnp.where(active,
-                        jnp.where(low_vel, s - s[:, :1],
-                                  jnp.broadcast_to(t_vec[None, :], (K, T))),
+                        jnp.where(low_vel, s - s[:1, :],
+                                  jnp.broadcast_to(tau_lon, (T, K))),
                         0.0)
-    ca = coeffs_lat[:, None, :]
+    ca = coeffs_lat[None, :, :]
     d = jnp.where(active, poly.eval_position(ca, tau_lat), 0.0)
     d_dot = jnp.where(active, poly.eval_velocity(ca, tau_lat), 0.0)
     d_ddot = jnp.where(active, poly.eval_acceleration(ca, tau_lat), 0.0)
@@ -153,12 +158,12 @@ def rollout(coeffs_lon: jnp.ndarray,
 
     # quick under-approximative pre-filter (reactive_planner.py:796-805);
     # acceleration is checked first, so it wins the reason when both trip
-    pre_acc = jnp.any(jnp.abs(s_ddot) > veh.a_max, axis=1)
-    pre_vel = jnp.any(s_dot < -_EPS, axis=1)
+    pre_acc = jnp.any(jnp.abs(s_ddot) > veh.a_max, axis=0)
+    pre_vel = jnp.any(s_dot < -_EPS, axis=0)
     prefiltered = pre_acc | pre_vel
     pre_reason = jnp.where(pre_acc, REASON_ACCELERATION, REASON_VELOCITY)
 
-    # ---- per-step state transform, fully vectorized over [K, T] -----------
+    # ---- per-step state transform, fully vectorized over [T, K] -----------
     # (the reference's per-step loop, reactive_planner.py:807-904; the only
     # sequential dependence — holding the previous global orientation while at
     # standstill in high-velocity mode, :866 — is expressed as a
@@ -185,8 +190,8 @@ def rollout(coeffs_lon: jnp.ndarray,
     # standstill hold: theta_gl[i] = theta_gl_move at the last moving step
     # <= i, else the initial orientation
     last_move = jax.lax.cummax(
-        jnp.where(use_move, step_idx[None, :], jnp.int32(-1)), axis=1)
-    held = jnp.take_along_axis(theta_gl_move, jnp.maximum(last_move, 0), axis=1)
+        jnp.where(use_move, step_idx[:, None], jnp.int32(-1)), axis=0)
+    held = jnp.take_along_axis(theta_gl_move, jnp.maximum(last_move, 0), axis=0)
     theta_gl = jnp.where(last_move >= 0, held, x0_orientation)
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
@@ -205,52 +210,50 @@ def rollout(coeffs_lon: jnp.ndarray,
          (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
           (k_r_d * d + k_r * dp)))
 
-    # constraint violations, [K, T] each, in reference check order
+    # constraint violations, [T, K] each, in reference check order
     # (reactive_planner.py:971-1017)
-    false_kt = jnp.zeros((K, T), dtype=bool)
-    first_col = step_idx[None, :] == 0
+    false_tk = jnp.zeros((T, K), dtype=bool)
 
     if check_velocity:
         vel_viol = v < -_EPS
     else:
-        vel_viol = false_kt
+        vel_viol = false_tk
     if check_kappa:
         kappa_viol = jnp.abs(kappa_gl) > veh.kappa_max
     else:
-        kappa_viol = false_kt
+        kappa_viol = false_tk
     if check_yaw_rate:
         yaw_rate = jnp.concatenate(
-            [jnp.zeros((K, 1), dtype=dtype), jnp.diff(theta_gl, axis=1) / dt],
-            axis=1)
+            [jnp.zeros((1, K), dtype=dtype), jnp.diff(theta_gl, axis=0) / dt],
+            axis=0)
         yaw_viol = jnp.abs(jnp.round(yaw_rate, 5)) > veh.kappa_max * v
     else:
-        yaw_viol = false_kt
+        yaw_viol = false_tk
     if check_kappa_dot:
         steering_angle = jnp.arctan2(veh.wheelbase * kappa_gl, 1.0)
         kappa_dot_max = veh.v_delta_max / (veh.wheelbase *
                                            jnp.cos(steering_angle) ** 2)
         kd = jnp.concatenate(
-            [jnp.zeros((K, 1), dtype=dtype), jnp.diff(kappa_gl, axis=1) / dt],
-            axis=1)
+            [jnp.zeros((1, K), dtype=dtype), jnp.diff(kappa_gl, axis=0) / dt],
+            axis=0)
         kd_viol = jnp.abs(kd) > kappa_dot_max
     else:
-        kd_viol = false_kt
+        kd_viol = false_tk
     if check_acceleration:
         v_safe = jnp.where(v > veh.v_switch, v, 1.0)
         a_hi = jnp.where(v > veh.v_switch, veh.a_max * veh.v_switch / v_safe,
                          veh.a_max)
         acc_viol = (a < -veh.a_max) | (a > a_hi)
     else:
-        acc_viol = false_kt
-    del first_col
+        acc_viol = false_tk
 
     # first failing (step, constraint) in lazy-iteration order: step-major,
-    # then the fixed constraint order — encode as [K, T, 5] and take argmax
+    # then the fixed constraint order — encode as [T, 5, K] and take argmax
     viol_stack = jnp.stack([vel_viol, kappa_viol, yaw_viol, kd_viol, acc_viol],
-                           axis=-1) & active[:, :, None]
-    viol_flat = viol_stack.reshape(K, T * 5)
-    any_viol = jnp.any(viol_flat, axis=1)
-    first_flat = jnp.argmax(viol_flat, axis=1)
+                           axis=1) & active[:, None, :]
+    viol_flat = viol_stack.reshape(T * 5, K)
+    any_viol = jnp.any(viol_flat, axis=0)
+    first_flat = jnp.argmax(viol_flat, axis=0)
     reason_codes = jnp.asarray([REASON_VELOCITY, REASON_KAPPA, REASON_YAW_RATE,
                                 REASON_KAPPA_DOT, REASON_ACCELERATION],
                                dtype=jnp.int32)
@@ -268,7 +271,7 @@ def rollout(coeffs_lon: jnp.ndarray,
     x, y_pos, in_domain = frenet_ops.to_cartesian(ref, s, d)
     x = jnp.where(active, x, 0.0)
     y_pos = jnp.where(active, y_pos, 0.0)
-    domain_ok = jnp.all(in_domain | ~active, axis=1)
+    domain_ok = jnp.all(in_domain | ~active, axis=0)
 
     # combine feasibility: prefilter -> per-step constraints -> domain
     reason = jnp.where(prefiltered, pre_reason, scan_reason)
@@ -279,13 +282,13 @@ def rollout(coeffs_lon: jnp.ndarray,
     # kappa_dot array: [0, diff(kappa_gl)] over the padded array, computed
     # BEFORE enlarge (reactive_planner.py:923)
     kappa_dot = jnp.concatenate(
-        [jnp.zeros((K, 1), dtype=dtype), jnp.diff(kappa_gl, axis=1)], axis=1)
+        [jnp.zeros((1, K), dtype=dtype), jnp.diff(kappa_gl, axis=0)], axis=0)
 
     # ---- enlarge short candidates to N+1 steps --------------------------
     ext = ~active                                           # steps to fill
     last = traj_len - 1
-    take_last = lambda arr: jnp.take_along_axis(arr, last[:, None], axis=1)
-    t_rel = (step_idx[None, :] - last[:, None]).astype(dtype) * dt  # (j-last)*dt
+    take_last = lambda arr: jnp.take_along_axis(arr, last[None, :], axis=0)
+    t_rel = (step_idx[:, None] - last[None, :]).astype(dtype) * dt  # (j-last)*dt
 
     # Cartesian extension (trajectories.py:168-197)
     a_last = take_last(a)
@@ -294,8 +297,8 @@ def rollout(coeffs_lon: jnp.ndarray,
     theta_last = take_last(theta_gl)
     incr_x = jnp.where(ext, dt * v_temp * jnp.cos(theta_last), 0.0)
     incr_y = jnp.where(ext, dt * v_temp * jnp.sin(theta_last), 0.0)
-    x = jnp.where(ext, take_last(x) + jnp.cumsum(incr_x, axis=1), x)
-    y_pos = jnp.where(ext, take_last(y_pos) + jnp.cumsum(incr_y, axis=1), y_pos)
+    x = jnp.where(ext, take_last(x) + jnp.cumsum(incr_x, axis=0), x)
+    y_pos = jnp.where(ext, take_last(y_pos) + jnp.cumsum(incr_y, axis=0), y_pos)
     v = jnp.where(ext, v_temp, v)
     a = jnp.where(ext, a_last, a)
     theta_gl = jnp.where(ext, theta_last, theta_gl)
@@ -315,6 +318,12 @@ def rollout(coeffs_lon: jnp.ndarray,
     s_ddot = jnp.where(ext, take_last(s_ddot), s_ddot)
     d_ddot = jnp.where(ext, take_last(d_ddot), d_ddot)
     theta_cl = jnp.where(ext, take_last(theta_cl), theta_cl)
+
+    # back to the public [K, T] convention
+    (s, s_dot, s_ddot, d, d_dot, d_ddot, theta_cl, x, y_pos, theta_gl, v, a,
+     kappa_gl, kappa_dot) = (arr.T for arr in
+                             (s, s_dot, s_ddot, d, d_dot, d_ddot, theta_cl, x,
+                              y_pos, theta_gl, v, a, kappa_gl, kappa_dot))
 
     return RolloutResult(s=s, s_dot=s_dot, s_ddot=s_ddot, d=d, d_dot=d_dot,
                          d_ddot=d_ddot, theta_cl=theta_cl, x=x, y=y_pos,

@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--max-steps", type=int, default=300)
     parser.add_argument("--evaluate", action="store_true",
                         help="run the solution-feasibility evaluation harness")
+    parser.add_argument("--sampling-iteration-outside", action="store_true",
+                        help="iterate sampling levels in the driver instead of "
+                             "inside plan() (run_planner.py:59-75 mode)")
     parser.add_argument("--plot", action="store_true",
                         help="save final-trajectory plot to output/")
     args = parser.parse_args()
@@ -87,7 +90,15 @@ def main():
             current_count % config.planning.replanning_frequency == 0
         if plan_new_trajectory:
             planner.set_desired_velocity(current_speed=planner.x_0.velocity)
-            optimal = planner.plan()
+            if args.sampling_iteration_outside:
+                # per-level escalation driven by the caller (run_planner.py:72-75)
+                optimal = None
+                level = 1
+                while optimal is None and level < planner.sampling_level:
+                    optimal = planner.plan(level)
+                    level += 1
+            else:
+                optimal = planner.plan()
             if not optimal:
                 logger.error("Planner returned no trajectory — stopping")
                 break
