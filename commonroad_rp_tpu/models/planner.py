@@ -535,13 +535,14 @@ class ReactivePlanner:
         self.stage_timers.record("device_cycle", time.time() - t0)
         logger.info("Device cycle evaluation took \t%.7fs", time.time() - t0)
 
-        # statistics with reference lazy-iteration semantics
+        # statistics with reference lazy-iteration semantics; goal-filtered
+        # candidates never enter the kinematic check (:1076-1077)
         self._infeasible_count_kinematics = int(result.n_infeasible_kinematics)
         self._infeasible_count_collision = int(result.n_collision_before_best)
         for code, name in kin_ops.REASON_NAMES.items():
             if name in self._infeasible_reason_dict:
                 self._infeasible_reason_dict[name] += int(
-                    np.sum((reasons == code) & ~feasible))
+                    np.sum((reasons == code) & goal_valid & ~feasible))
 
         if self._draw_traj_set:
             self.stored_trajectories = BundleSummary(

@@ -128,7 +128,10 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
     best_cost = masked[best_idx]
     found = jnp.any(ok)
 
-    n_inf_kin = jnp.sum(~feasible).astype(jnp.int32)
+    # goal-filtered candidates are removed from the bundle BEFORE the
+    # kinematic check in the reference (reactive_planner.py:1076-1077), so
+    # they do not count as kinematically infeasible
+    n_inf_kin = jnp.sum(goal_valid & ~rollout.feasible).astype(jnp.int32)
     # lazy-iteration collision count: feasible, colliding, cheaper than winner
     n_coll = jnp.sum(feasible & collides & (costs < best_cost)).astype(jnp.int32)
     # if nothing survives, the lazy loop visits every feasible candidate

@@ -121,10 +121,17 @@ def main():
     wall = time.time() - t_start
     n_steps = len(planner.record_state_list) - 1
     reached = planner.goal_reached()
-    print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "
-          f"cycles={len(planner.planning_times)} "
-          f"p50_cycle={sorted(planner.planning_times)[len(planner.planning_times)//2]:.4f}s"
-          if planner.planning_times else "no planning cycles ran", flush=True)
+    if planner.planning_times:
+        ordered = sorted(planner.planning_times)
+        print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "
+              f"cycles={len(ordered)} p50_cycle={ordered[len(ordered)//2]:.4f}s "
+              f"min_cycle={ordered[0]:.4f}s max_cycle={ordered[-1]:.4f}s",
+              flush=True)
+        print("cycle_times_ms="
+              f"{[round(1e3 * t, 1) for t in planner.planning_times]}",
+              flush=True)
+    else:
+        print("no planning cycles ran", flush=True)
 
     if args.plot:
         from commonroad_rp_tpu.utils.visualization import plot_final_trajectory

@@ -77,3 +77,15 @@ def test_entry_compiles(repo_root):
     jax.block_until_ready(out)
     carry, metrics = out
     assert bool(metrics[0]), "entry cycle should find a trajectory"
+
+
+def test_traj_length_matches_numpy_arange():
+    """traj_length_steps must equal len(np.arange(0, round(dtau+dt,5), dt))
+    (the reference's per-candidate time array, reactive_planner.py:733)."""
+    from commonroad_rp_tpu.models.sampling import traj_length_steps
+    dt = 0.1
+    taus = np.concatenate([np.arange(0.2, 6.01, 0.1),
+                           [0.4000000001, 1.9999999999, 2.0000000001]])
+    got = traj_length_steps(taus, dt)
+    want = np.array([len(np.arange(0, np.round(t + dt, 5), dt)) for t in taus])
+    np.testing.assert_array_equal(got, want)
