@@ -63,15 +63,17 @@ class CollisionChecker:
         self.dtype = dtype
         self.boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
         self._window_cache: Dict[Tuple[int, int, int], collision_ops.ObstacleArrays] = {}
-        self._corridor_cache: Dict[int, collision_ops.CorridorArrays] = {}
+        # weak keying: id() reuse after GC must not alias a new reference path
+        # to a stale corridor
+        import weakref
+        self._corridor_cache = weakref.WeakKeyDictionary()
 
     def corridor_for(self, coordinate_system) -> collision_ops.CorridorArrays:
         """Drivable d-band tables for a reference path (cached per CoSys)."""
-        key = id(coordinate_system)
-        if key not in self._corridor_cache:
-            self._corridor_cache[key] = collision_ops.compile_corridor(
+        if coordinate_system not in self._corridor_cache:
+            self._corridor_cache[coordinate_system] = collision_ops.compile_corridor(
                 self.boundary, coordinate_system.tables, dtype=self.dtype)
-        return self._corridor_cache[key]
+        return self._corridor_cache[coordinate_system]
 
     def obstacles_for_window(self, t_start: int, horizon_steps: int,
                              factor: int) -> collision_ops.ObstacleArrays:
@@ -527,18 +529,22 @@ class ReactivePlanner:
             boundary_mode=boundary_mode,
             continuous_check=self.config.planning.continuous_collision_check)
 
+        # minimal host readbacks: found (scalar sync), one [3,K] mask pack,
+        # one [K] cost array, one [4] scalar pack, one [14,T] candidate pack
         found = bool(result.found)
-        feasible = np.asarray(result.feasible)
-        collides = np.asarray(result.collides)
-        reasons = np.asarray(result.reason)
+        masks = np.asarray(result.masks)
+        feasible = masks[0].astype(bool)
+        collides = masks[1].astype(bool)
+        reasons = masks[2]
         costs = np.asarray(result.costs)
+        scalars = np.asarray(result.scalars)
         self.stage_timers.record("device_cycle", time.time() - t0)
         logger.info("Device cycle evaluation took \t%.7fs", time.time() - t0)
 
         # statistics with reference lazy-iteration semantics; goal-filtered
         # candidates never enter the kinematic check (:1076-1077)
-        self._infeasible_count_kinematics = int(result.n_infeasible_kinematics)
-        self._infeasible_count_collision = int(result.n_collision_before_best)
+        self._infeasible_count_kinematics = int(scalars[2])
+        self._infeasible_count_collision = int(scalars[3])
         for code, name in kin_ops.REASON_NAMES.items():
             if name in self._infeasible_reason_dict:
                 self._infeasible_reason_dict[name] += int(
@@ -558,13 +564,11 @@ class ReactivePlanner:
         if not found:
             return None, bundle_stats
 
-        idx = int(result.best_idx)
-        arrays = {k: np.asarray(v) for k, v in
-                  cycle_ops.gather_candidate(result.rollout,
-                                             result.best_idx).items()}
-        optimal = OptimalTrajectory(arrays=arrays, cost=float(result.best_cost),
+        arrays = cycle_ops.unpack_candidate(result.optimal)
+        optimal = OptimalTrajectory(arrays=arrays, cost=float(scalars[1]),
                                     dt=self.dt, horizon=self.horizon)
-        logger.debug("Selected candidate %d with cost %.3f", idx, optimal.cost)
+        logger.debug("Selected candidate %d with cost %.3f", int(scalars[0]),
+                     optimal.cost)
         return optimal, bundle_stats
 
     def _vehicle_arrays(self) -> kin_ops.VehicleArrays:

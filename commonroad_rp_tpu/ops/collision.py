@@ -94,15 +94,26 @@ def compile_obstacles(scenario: Scenario, t_start: int, horizon_steps: int,
     rows_ext: List[Tuple[float, float]] = []
     rows_valid: List[np.ndarray] = []
 
-    for obstacle in scenario.static_obstacles:
-        state = obstacle.initial_state
+    def shape_offsets(shape):
+        """Rectangle shapes may carry their own center offset/orientation
+        (applied in the obstacle's body frame)."""
+        if isinstance(shape, Rectangle):
+            return np.asarray(shape.center, dtype=np.float64), float(shape.orientation)
+        return np.zeros(2), 0.0
+
+    def obb_pose(state, shape):
         center = np.asarray(state.position, dtype=np.float64)
         theta = float(state.orientation or 0.0)
-        # rectangle shapes may carry their own center offset/orientation
-        if isinstance(obstacle.shape, Rectangle) and np.any(obstacle.shape.center):
-            center = center + obstacle.shape.center
-            theta = theta + obstacle.shape.orientation
-        pose = np.tile(np.array([center[0], center[1], theta]), (T, 1))
+        offset, d_theta = shape_offsets(shape)
+        if offset[0] or offset[1]:
+            c, s = np.cos(theta), np.sin(theta)
+            center = center + np.array([c * offset[0] - s * offset[1],
+                                        s * offset[0] + c * offset[1]])
+        return [center[0], center[1], theta + d_theta]
+
+    for obstacle in scenario.static_obstacles:
+        pose = np.tile(np.array(obb_pose(obstacle.initial_state,
+                                         obstacle.shape)), (T, 1))
         rows_pose.append(pose)
         rows_ext.append(_shape_as_obb(obstacle.shape))
         rows_valid.append(np.ones(T, dtype=bool))
@@ -113,8 +124,7 @@ def compile_obstacles(scenario: Scenario, t_start: int, horizon_steps: int,
         for i in range(T):
             state = obstacle.state_at_time(t_start + i * factor)
             if state is not None and state.position is not None:
-                pose[i] = [state.position[0], state.position[1],
-                           float(state.orientation or 0.0)]
+                pose[i] = obb_pose(state, obstacle.shape)
                 valid[i] = True
         rows_pose.append(pose)
         rows_ext.append(_shape_as_obb(obstacle.shape))

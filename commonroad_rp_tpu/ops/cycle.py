@@ -39,19 +39,25 @@ class CostParams(NamedTuple):
     desired_s: jnp.ndarray       # ignored unless has_desired_s
 
 
+CANDIDATE_FIELDS = ("s", "s_dot", "s_ddot", "d", "d_dot", "d_ddot",
+                    "theta_cl", "x", "y", "theta_gl", "v", "a", "kappa_gl",
+                    "kappa_dot")
+
+
 class LevelResult(NamedTuple):
-    """Output of one level evaluation (everything the host needs)."""
+    """Output of one level evaluation (everything the host needs).
+
+    Host-facing values are packed into few arrays: device->host readbacks
+    through a tunneled backend cost tens of milliseconds EACH, so one packed
+    transfer replaces ~19 per-leaf transfers per cycle.
+    """
 
     found: jnp.ndarray            # scalar bool: any feasible & collision-free
-    best_idx: jnp.ndarray         # scalar int32 (valid iff found)
-    best_cost: jnp.ndarray        # scalar (inf if not found)
-    feasible: jnp.ndarray         # [K] kinematic+domain feasibility
-    collides: jnp.ndarray         # [K] collision mask
-    reason: jnp.ndarray           # [K] infeasibility reason codes
+    scalars: jnp.ndarray          # [4] f: best_idx, best_cost, n_inf_kin, n_coll
+    masks: jnp.ndarray            # [3, K] int32: feasible, collides, reason
     costs: jnp.ndarray            # [K] costs (all candidates)
-    n_infeasible_kinematics: jnp.ndarray  # scalar int32
-    n_collision_before_best: jnp.ndarray  # scalar int32 (lazy-order count)
-    rollout: kinematics.RolloutResult     # dense [K, T] state arrays
+    optimal: jnp.ndarray          # [14, T] best candidate (CANDIDATE_FIELDS order)
+    rollout: kinematics.RolloutResult     # dense [K, T] state arrays (device)
 
 
 @functools.partial(
@@ -138,24 +144,29 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
     n_coll_nofind = jnp.sum(feasible & collides).astype(jnp.int32)
     n_coll = jnp.where(found, n_coll, n_coll_nofind)
 
-    return LevelResult(found=found, best_idx=best_idx, best_cost=best_cost,
-                       feasible=feasible, collides=collides,
-                       reason=rollout.reason, costs=costs,
-                       n_infeasible_kinematics=n_inf_kin,
-                       n_collision_before_best=n_coll,
-                       rollout=rollout)
+    # pack host-facing outputs (single transfers)
+    scalars = jnp.stack([best_idx.astype(costs.dtype), best_cost,
+                         n_inf_kin.astype(costs.dtype),
+                         n_coll.astype(costs.dtype)])
+    masks = jnp.stack([feasible.astype(jnp.int32), collides.astype(jnp.int32),
+                       rollout.reason])
+    optimal = jnp.stack([getattr(rollout, f)[best_idx]
+                         for f in CANDIDATE_FIELDS])
+
+    return LevelResult(found=found, scalars=scalars, masks=masks, costs=costs,
+                       optimal=optimal, rollout=rollout)
 
 
 @functools.partial(jax.jit, static_argnames=())
 def gather_candidate(rollout: kinematics.RolloutResult, idx: jnp.ndarray):
-    """Extract one candidate's [T] state arrays (small host transfer)."""
-    take = lambda arr: arr[idx]
-    return {
-        "s": take(rollout.s), "s_dot": take(rollout.s_dot),
-        "s_ddot": take(rollout.s_ddot), "d": take(rollout.d),
-        "d_dot": take(rollout.d_dot), "d_ddot": take(rollout.d_ddot),
-        "theta_cl": take(rollout.theta_cl), "x": take(rollout.x),
-        "y": take(rollout.y), "theta_gl": take(rollout.theta_gl),
-        "v": take(rollout.v), "a": take(rollout.a),
-        "kappa_gl": take(rollout.kappa_gl), "kappa_dot": take(rollout.kappa_dot),
-    }
+    """Extract one candidate's state arrays as one packed [14, T] transfer
+    (CANDIDATE_FIELDS order)."""
+    return jnp.stack([getattr(rollout, f)[idx] for f in CANDIDATE_FIELDS])
+
+
+def unpack_candidate(packed) -> dict:
+    """[14, T] packed candidate -> {field: [T] numpy array}."""
+    import numpy as np
+
+    arr = np.asarray(packed)
+    return {name: arr[i] for i, name in enumerate(CANDIDATE_FIELDS)}

@@ -246,7 +246,6 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     refs = [pad_ref(p["ref_tables"]) for p in problems]
     ref_stacked = frenet_ops.RefPathTables(
         *[jnp.stack([getattr(r, f) for r in refs]).astype(dtype)
-          if f != "s" else jnp.stack([getattr(r, f) for r in refs]).astype(dtype)
           for f in frenet_ops.RefPathTables._fields])
 
     def pad_obstacles(obs: collision_ops.ObstacleArrays):

@@ -158,8 +158,29 @@ class RoutePlanner:
         path = lanes[0]
         for nxt in lanes[1:]:
             path = self._blend_lane_change(path, nxt)
-        # extend the path if it ends near the goal so the horizon fits
-        # (extrapolate_ref_path role, utils_coordinate_system.py:46-57)
+
+        # extend the path when the goal projects near its end, so candidate
+        # terminal s-values within the planning horizon stay inside the
+        # projection domain (extrapolate_ref_path role,
+        # utils_coordinate_system.py:46-57)
+        goal_points = []
+        for state in self.planning_problem.goal.state_list:
+            for shape in state.position_shapes:
+                center = getattr(shape, "center", None)
+                if center is not None:
+                    goal_points.append(np.asarray(center))
+            for lanelet_id in state.position_lanelets:
+                lanelet = self.network.find_lanelet_by_id(lanelet_id)
+                goal_points.append(lanelet.center_vertices[-1])
+        if goal_points:
+            s_total = geometry.compute_pathlength(path)[-1]
+            end_margin = min(
+                float(np.linalg.norm(path[-1] - g)) for g in goal_points)
+            # a generous horizon bound: 6 s at highway speed
+            if end_margin < 150.0:
+                extension = max(150.0 - end_margin, 20.0)
+                while geometry.compute_pathlength(path)[-1] < s_total + extension:
+                    path = geometry.extrapolate_ref_path(path, resample_step=2.0)
         return path
 
     @staticmethod
@@ -206,8 +227,6 @@ class RoutePlanner:
                 d = np.linalg.norm(lane_b - point, axis=1)
                 out.append((1 - w) * point + w * lane_b[int(np.argmin(d))])
         # continue on lane B beyond A's end
-        s_b = geometry.compute_pathlength(lane_b)
-        tail_from = nearest_s(lane_a[-1])
         d_end = np.linalg.norm(lane_b - lane_a[-1], axis=1)
         b_idx = int(np.argmin(d_end))
         if b_idx + 1 < len(lane_b):

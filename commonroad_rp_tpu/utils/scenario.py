@@ -259,10 +259,11 @@ class DynamicObstacle:
         """Predicted state at a time step; None outside the prediction span."""
         if time_step == self.initial_state.time_step:
             return self.initial_state
-        for state in self.trajectory:
-            if state.time_step == time_step:
-                return state
-        return None
+        by_step = getattr(self, "_by_step", None)
+        if by_step is None:
+            by_step = {state.time_step: state for state in self.trajectory}
+            object.__setattr__(self, "_by_step", by_step)
+        return by_step.get(time_step)
 
 
 def _parse_state(node: ET.Element) -> TraceState:
@@ -367,10 +368,12 @@ def _parse_planning_problem(node: ET.Element,
         if pos is not None:
             for lanelet_ref in pos.findall("lanelet"):
                 goal.position_lanelets.append(int(lanelet_ref.get("ref")))
-            for shape_tag in ("rectangle", "circle", "polygon"):
-                if pos.find(shape_tag) is not None:
-                    goal.position_shapes.append(_parse_shape(pos))
-                    break
+            # a goal position may hold a shape group: collect EVERY shape
+            for child in pos:
+                if child.tag in ("rectangle", "circle", "polygon"):
+                    wrapper = ET.Element("shape")
+                    wrapper.append(child)
+                    goal.position_shapes.append(_parse_shape(wrapper))
         orient = _parse_value(gs_node.find("orientation"))
         if isinstance(orient, Interval):
             goal.orientation = AngleInterval(orient.start, orient.end)
