@@ -362,55 +362,13 @@ class ReactivePlanner:
         if not self._co:
             return None
         try:
-            s, d = self._co.convert_to_curvilinear_coords(
-                x_0.position[0], x_0.position[1])
+            return self._co.compute_initial_curvilinear_states(
+                x_0.position, x_0.orientation, x_0.velocity, x_0.acceleration,
+                x_0.steering_angle, self.vehicle_params.wheelbase,
+                self._low_vel_mode)
         except ValueError:
             logger.critical("Initial state could not be transformed.")
             raise ValueError("Initial state could not be transformed.")
-
-        ref_pos = self._co.ref_pos
-        s_idx = int(np.argmax(ref_pos > s)) - 1
-        s_lambda = (s - ref_pos[s_idx]) / (ref_pos[s_idx + 1] - ref_pos[s_idx])
-
-        ref_theta = np.unwrap(self._co.ref_theta)
-        theta_cl = x_0.orientation - interpolate_angle(
-            s, ref_pos[s_idx], ref_pos[s_idx + 1],
-            ref_theta[s_idx], ref_theta[s_idx + 1])
-
-        kr = (self._co.ref_curv[s_idx + 1] - self._co.ref_curv[s_idx]) * s_lambda \
-            + self._co.ref_curv[s_idx]
-        kr_d = (self._co.ref_curv_d[s_idx + 1] - self._co.ref_curv_d[s_idx]) \
-            * s_lambda + self._co.ref_curv_d[s_idx]
-
-        kappa_0 = np.tan(x_0.steering_angle) / self.vehicle_params.wheelbase
-
-        d_p = (1 - kr * d) * np.tan(theta_cl)
-        d_pp = -(kr_d * d + kr * d_p) * np.tan(theta_cl) + \
-            ((1 - kr * d) / (math.cos(theta_cl) ** 2)) * \
-            (kappa_0 * (1 - kr * d) / math.cos(theta_cl) - kr)
-
-        s_velocity = x_0.velocity * math.cos(theta_cl) / (1 - kr * d)
-        if s_velocity < 0:
-            raise Exception(
-                "Initial state or reference incorrect! Curvilinear velocity is "
-                "negative which indicates that the ego vehicle is not driving in "
-                "the same direction as specified by the reference")
-
-        s_acceleration = x_0.acceleration
-        s_acceleration -= (s_velocity ** 2 / math.cos(theta_cl)) * (
-            (1 - kr * d) * np.tan(theta_cl) *
-            (kappa_0 * (1 - kr * d) / (math.cos(theta_cl)) - kr) -
-            (kr_d * d + kr * d_p))
-        s_acceleration /= ((1 - kr * d) / (math.cos(theta_cl)))
-
-        if self._low_vel_mode:
-            d_velocity = d_p
-            d_acceleration = d_pp
-        else:
-            d_velocity = x_0.velocity * math.sin(theta_cl)
-            d_acceleration = s_acceleration * d_p + s_velocity ** 2 * d_pp
-
-        return [s, s_velocity, s_acceleration], [d, d_velocity, d_acceleration]
 
     # ------------------------------------------------------------------
     # planning cycle (reactive_planner.py:570-665)

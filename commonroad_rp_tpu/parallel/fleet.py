@@ -222,30 +222,30 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     T_max = max(p["obstacles"].pose.shape[1] if p["obstacles"].pose.shape[0]
                 else n_steps + 1 for p in problems)
 
-    def pad_ref(tables: frenet_ops.RefPathTables) -> frenet_ops.RefPathTables:
-        n = tables.s.shape[0]
+    # IMPORTANT: all assembly is host-side numpy — eager jnp ops here would
+    # each trigger a device compilation on slow-compile backends
+    def pad_ref(tables: frenet_ops.RefPathTables):
+        leaves = {f: np.asarray(getattr(tables, f))
+                  for f in frenet_ops.RefPathTables._fields}
+        n = leaves["s"].shape[0]
         pad = P_max - n
         if pad == 0:
-            return tables
+            return leaves
         # extend the arclength monotonically so searchsorted stays correct;
         # padded vertices continue the final tangent direction
-        s_np = np.asarray(tables.s)
-        extra_s = s_np[-1] + np.arange(1, pad + 1) * 1e6
-        pts = np.asarray(tables.points)
-        tang = np.asarray(tables.tangent)
-        extra_pts = pts[-1] + np.outer(np.arange(1, pad + 1) * 1e6, tang[-1])
-        cat = lambda a, b: jnp.concatenate([a, jnp.asarray(b, a.dtype)])
-        rep = lambda a: jnp.concatenate(
-            [a, jnp.repeat(a[-1:], pad, axis=0)])
-        return frenet_ops.RefPathTables(
-            points=cat(tables.points, extra_pts), s=cat(tables.s, extra_s),
-            theta=rep(tables.theta), curv=rep(tables.curv),
-            curv_d=rep(tables.curv_d), curv_dd=rep(tables.curv_dd),
-            tangent=rep(tables.tangent), normal=rep(tables.normal))
+        extra_s = leaves["s"][-1] + np.arange(1, pad + 1) * 1e6
+        extra_pts = leaves["points"][-1] + np.outer(
+            np.arange(1, pad + 1) * 1e6, leaves["tangent"][-1])
+        rep = lambda a: np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+        return dict(points=np.concatenate([leaves["points"], extra_pts]),
+                    s=np.concatenate([leaves["s"], extra_s]),
+                    theta=rep(leaves["theta"]), curv=rep(leaves["curv"]),
+                    curv_d=rep(leaves["curv_d"]), curv_dd=rep(leaves["curv_dd"]),
+                    tangent=rep(leaves["tangent"]), normal=rep(leaves["normal"]))
 
     refs = [pad_ref(p["ref_tables"]) for p in problems]
     ref_stacked = frenet_ops.RefPathTables(
-        *[jnp.stack([getattr(r, f) for r in refs]).astype(dtype)
+        *[jnp.asarray(np.stack([r[f] for r in refs]), dtype)
           for f in frenet_ops.RefPathTables._fields])
 
     def pad_obstacles(obs: collision_ops.ObstacleArrays):
@@ -306,11 +306,12 @@ def problem_from_planner_setup(scenario, planning_problem, reference_path,
     x_0 = ReactivePlannerState.create_from_initial_state(
         planning_problem.initial_state, veh_cfg.wheelbase, veh_cfg.wb_rear_axle)
 
-    s, d = co.convert_to_curvilinear_coords(*x_0.position)
-    # initial curvilinear derivatives: straight-driving approximation for the
-    # fleet path (the conformance facade uses the full Werling transform)
-    x0_lon = np.array([s, max(x_0.velocity, 0.0), 0.0])
-    x0_lat = np.array([d, 0.0, 0.0])
+    low_vel = x_0.velocity < 4.0
+    x0_lon, x0_lat = co.compute_initial_curvilinear_states(
+        x_0.position, x_0.orientation, x_0.velocity, x_0.acceleration or 0.0,
+        x_0.steering_angle or 0.0, veh_cfg.wheelbase, low_vel)
+    x0_lon = np.asarray(x0_lon)
+    x0_lat = np.asarray(x0_lat)
 
     # scenario span: last dynamic-obstacle prediction step + horizon padding
     last_step = 0

@@ -120,6 +120,65 @@ class CoordinateSystem:
             raise ValueError("Point outside the curvilinear projection domain")
         return np.array([s, d])
 
+    def compute_initial_curvilinear_states(self, position, orientation,
+                                           velocity, acceleration,
+                                           steering_angle, wheelbase,
+                                           low_vel_mode: bool):
+        """Cartesian state -> curvilinear (lon, lat) initial states.
+
+        The Werling Eqs. A.3/A.5 transform of the reference's
+        _compute_initial_states (reactive_planner.py:446-512), shared by the
+        planner facade and the fleet problem setup.
+        Returns ([s, s_dot, s_ddot], [d, d_dot, d_ddot]).
+        """
+        import math
+
+        s, d = self.convert_to_curvilinear_coords(position[0], position[1])
+
+        ref_pos = self._ref_pos
+        s_idx = int(np.argmax(ref_pos > s)) - 1
+        s_lambda = (s - ref_pos[s_idx]) / (ref_pos[s_idx + 1] - ref_pos[s_idx])
+
+        ref_theta = np.unwrap(self._ref_theta)
+        theta_cl = orientation - geometry.interpolate_angle(
+            s, ref_pos[s_idx], ref_pos[s_idx + 1],
+            ref_theta[s_idx], ref_theta[s_idx + 1])
+
+        kr = (self._ref_curv[s_idx + 1] - self._ref_curv[s_idx]) * s_lambda \
+            + self._ref_curv[s_idx]
+        kr_d = (self._ref_curv_d[s_idx + 1] - self._ref_curv_d[s_idx]) \
+            * s_lambda + self._ref_curv_d[s_idx]
+
+        kappa_0 = np.tan(steering_angle) / wheelbase
+
+        d_p = (1 - kr * d) * np.tan(theta_cl)
+        d_pp = -(kr_d * d + kr * d_p) * np.tan(theta_cl) + \
+            ((1 - kr * d) / (math.cos(theta_cl) ** 2)) * \
+            (kappa_0 * (1 - kr * d) / math.cos(theta_cl) - kr)
+
+        s_velocity = velocity * math.cos(theta_cl) / (1 - kr * d)
+        if s_velocity < 0:
+            raise Exception(
+                "Initial state or reference incorrect! Curvilinear velocity is "
+                "negative which indicates that the ego vehicle is not driving "
+                "in the same direction as specified by the reference")
+
+        s_acceleration = acceleration
+        s_acceleration -= (s_velocity ** 2 / math.cos(theta_cl)) * (
+            (1 - kr * d) * np.tan(theta_cl) *
+            (kappa_0 * (1 - kr * d) / (math.cos(theta_cl)) - kr) -
+            (kr_d * d + kr * d_p))
+        s_acceleration /= ((1 - kr * d) / (math.cos(theta_cl)))
+
+        if low_vel_mode:
+            d_velocity = d_p
+            d_acceleration = d_pp
+        else:
+            d_velocity = velocity * math.sin(theta_cl)
+            d_acceleration = s_acceleration * d_p + s_velocity ** 2 * d_pp
+
+        return [s, s_velocity, s_acceleration], [d, d_velocity, d_acceleration]
+
     def plot_reference_states(self):
         """Reference state plots (utils_coordinate_system.py:180-212)."""
         from matplotlib import pyplot as plt

@@ -1,0 +1,158 @@
+"""Scenario-format edge cases: shape variants, shape groups, offsets."""
+
+import textwrap
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from commonroad_rp_tpu.ops import collision as co
+from commonroad_rp_tpu.utils.scenario import read_scenario_xml
+
+
+def _write_scenario(tmp_path, body: str) -> str:
+    path = tmp_path / "synthetic.xml"
+    path.write_text(textwrap.dedent(f"""\
+        <?xml version="1.0" encoding="utf-8"?>
+        <commonRoad timeStepSize="0.1" commonRoadVersion="2020a" benchmarkID="SYN-1">
+          <lanelet id="1">
+            <leftBound>
+              <point><x>0</x><y>3</y></point>
+              <point><x>100</x><y>3</y></point>
+            </leftBound>
+            <rightBound>
+              <point><x>0</x><y>-3</y></point>
+              <point><x>100</x><y>-3</y></point>
+            </rightBound>
+          </lanelet>
+          {body}
+        </commonRoad>
+        """))
+    return str(path)
+
+
+def test_circle_and_polygon_obstacles(tmp_path):
+    body = """
+          <staticObstacle id="10">
+            <type>unknown</type>
+            <shape><circle><radius>2.5</radius></circle></shape>
+            <initialState>
+              <position><point><x>40</x><y>0</y></point></position>
+              <orientation><exact>0</exact></orientation>
+              <time><exact>0</exact></time>
+            </initialState>
+          </staticObstacle>
+          <staticObstacle id="11">
+            <type>unknown</type>
+            <shape><polygon>
+              <point><x>60</x><y>-1</y></point>
+              <point><x>64</x><y>-1</y></point>
+              <point><x>62</x><y>2</y></point>
+            </polygon></shape>
+            <initialState>
+              <position><point><x>0</x><y>0</y></point></position>
+              <orientation><exact>0</exact></orientation>
+              <time><exact>0</exact></time>
+            </initialState>
+          </staticObstacle>
+          <planningProblem id="1">
+            <initialState>
+              <position><point><x>5</x><y>0</y></point></position>
+              <velocity><exact>10</exact></velocity>
+              <orientation><exact>0</exact></orientation>
+              <yawRate><exact>0</exact></yawRate>
+              <slipAngle><exact>0</exact></slipAngle>
+              <time><exact>0</exact></time>
+            </initialState>
+            <goalState>
+              <position><rectangle><length>10</length><width>4</width>
+                <center><x>90</x><y>0</y></center></rectangle></position>
+              <time><intervalStart>0</intervalStart><intervalEnd>100</intervalEnd></time>
+            </goalState>
+          </planningProblem>
+    """
+    scenario, pp_set = read_scenario_xml(_write_scenario(tmp_path, body))
+    assert len(scenario.static_obstacles) == 2
+    circle, polygon = scenario.static_obstacles
+    assert circle.shape.radius == 2.5
+    assert polygon.shape.points.shape == (3, 2)
+
+    obstacles = co.compile_obstacles(scenario, 0, 5)
+    half = np.asarray(obstacles.half_ext)
+    np.testing.assert_allclose(half[0], [2.5, 2.5])       # circle -> square OBB
+    np.testing.assert_allclose(half[1], [2.0, 1.5])       # polygon AABB halves
+
+
+def test_goal_shape_group(tmp_path):
+    body = """
+          <planningProblem id="1">
+            <initialState>
+              <position><point><x>5</x><y>0</y></point></position>
+              <velocity><exact>10</exact></velocity>
+              <orientation><exact>0</exact></orientation>
+              <time><exact>0</exact></time>
+            </initialState>
+            <goalState>
+              <position>
+                <rectangle><length>4</length><width>4</width>
+                  <center><x>50</x><y>0</y></center></rectangle>
+                <rectangle><length>4</length><width>4</width>
+                  <center><x>90</x><y>0</y></center></rectangle>
+              </position>
+              <time><intervalStart>0</intervalStart><intervalEnd>100</intervalEnd></time>
+            </goalState>
+          </planningProblem>
+    """
+    _, pp_set = read_scenario_xml(_write_scenario(tmp_path, body))
+    goal = list(pp_set.planning_problem_dict.values())[0].goal
+    assert len(goal.state_list[0].position_shapes) == 2
+
+    from commonroad_rp_tpu.models.state import TraceState
+    in_second = TraceState(time_step=10, position=np.array([90.0, 0.0]),
+                           velocity=5.0)
+    assert goal.is_reached(in_second)
+
+
+def test_rotated_rectangle_obstacle_offsets(tmp_path):
+    """Shape-level orientation/center offsets compose with the state pose."""
+    body = """
+          <staticObstacle id="20">
+            <type>unknown</type>
+            <shape><rectangle>
+              <length>10</length><width>1</width>
+              <orientation>1.5707963</orientation>
+              <center><x>2</x><y>0</y></center>
+            </rectangle></shape>
+            <initialState>
+              <position><point><x>40</x><y>0</y></point></position>
+              <orientation><exact>0</exact></orientation>
+              <time><exact>0</exact></time>
+            </initialState>
+          </staticObstacle>
+          <planningProblem id="1">
+            <initialState>
+              <position><point><x>5</x><y>0</y></point></position>
+              <velocity><exact>10</exact></velocity>
+              <orientation><exact>0</exact></orientation>
+              <time><exact>0</exact></time>
+            </initialState>
+            <goalState>
+              <position><rectangle><length>4</length><width>4</width>
+                <center><x>90</x><y>0</y></center></rectangle></position>
+              <time><intervalStart>0</intervalStart><intervalEnd>100</intervalEnd></time>
+            </goalState>
+          </planningProblem>
+    """
+    scenario, _ = read_scenario_xml(_write_scenario(tmp_path, body))
+    obstacles = co.compile_obstacles(scenario, 0, 3)
+    pose = np.asarray(obstacles.pose)[0, 0]
+    np.testing.assert_allclose(pose[:2], [42.0, 0.0])      # body-frame offset
+    np.testing.assert_allclose(pose[2], 1.5707963)         # composed rotation
+
+    # the rotated 10m-long bar spans y in [-5, 5] at x ~ 42: an ego pose at
+    # (42, 4) must collide; without the orientation it would not
+    hit = co.check_collisions(
+        jnp.asarray([[42.0]]), jnp.asarray([[4.0]]), jnp.asarray([[0.0]]),
+        obstacles, None, jnp.asarray(2.25), jnp.asarray(0.8), jnp.asarray(0.0))
+    assert bool(hit[0])
