@@ -97,10 +97,13 @@ class CoordinateSystem:
         numpy fallback."""
         from commonroad_rp_tpu import native
         if native.available():
-            s_out, d_out, inside = native.clcs_project(
+            s_out, d_out, _ = native.clcs_project(
                 self._reference, self._ref_pos, self._tangent, self._normal,
                 np.array([[x, y]]))
-            if inside < 1:
+            # same domain tolerance as the numpy fallback below: endpoints
+            # (s = 0 or s = s_max) are inside
+            if s_out[0] <= self._ref_pos[0] - 1e-9 or \
+                    s_out[0] >= self._ref_pos[-1] + 1e-9:
                 raise ValueError("Point outside the curvilinear projection domain")
             return np.array([s_out[0], d_out[0]])
         p = np.array([x, y])

@@ -89,3 +89,55 @@ def test_traj_length_matches_numpy_arange():
     got = traj_length_steps(taus, dt)
     want = np.array([len(np.arange(0, np.round(t + dt, 5), dt)) for t in taus])
     np.testing.assert_array_equal(got, want)
+
+
+def test_mixed_scenario_fleet(repo_root):
+    """A fleet stacking all four bundled scenarios (different path lengths,
+    obstacle counts, boundary sizes) pads and plans coherently."""
+    import jax
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops import grid as grid_ops
+    from commonroad_rp_tpu.ops import kinematics as kin_ops
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+
+    n_steps, dt = 20, 0.1
+    problems = []
+    for name in ["ZAM_Over-1_1", "DEU_Test-1_1_T-1", "ZAM_Tjunction-1_42_T-1",
+                 "ZAM-Ramp-1_1-T-1"]:
+        scenario, pp, _ = load_scenario_and_planning_problem(
+            str(repo_root / "example_scenarios" / f"{name}.xml"))
+        route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+        problems.append(fleet_ops.problem_from_planner_setup(
+            scenario, pp, route.reference_path, n_steps=n_steps,
+            horizon_pad=30, dtype=jnp.float32))
+
+    scene, carry = fleet_ops.build_fleet_scene(problems, n_steps,
+                                               dtype=jnp.float32)
+    assert scene.obs_pose.shape[0] == 4
+
+    veh_cfg = VehicleConfiguration()
+    veh = kin_ops.VehicleArrays(*[np.float32(x) for x in [
+        veh_cfg.wheelbase, veh_cfg.wb_rear_axle, veh_cfg.a_max,
+        veh_cfg.v_switch, np.tan(veh_cfg.delta_max) / veh_cfg.wheelbase,
+        veh_cfg.v_delta_max, veh_cfg.length / 2, veh_cfg.width / 2]])
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+    run = fleet_ops.make_fleet_rollout(
+        make_fleet_mesh(4), veh, grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=3)
+    final_carry, metrics = run(carry, scene)
+    jax.block_until_ready(final_carry)
+
+    found = np.asarray(metrics.found)          # [cycles, F]
+    # the three moving-start scenarios plan successfully from cycle one;
+    # the ramp scenario starts at standstill (v=0 has no feasible
+    # velocity-keeping candidate with all-zero targets — facade handles it
+    # via the standstill fallback, which the minimal fleet body omits)
+    assert found[0, 0] and found[0, 1]
+    # fleet aggregate equals the per-problem sum on every cycle
+    np.testing.assert_array_equal(np.asarray(metrics.fleet_success),
+                                  found.sum(axis=1))
