@@ -156,3 +156,21 @@ def test_rotated_rectangle_obstacle_offsets(tmp_path):
         jnp.asarray([[42.0]]), jnp.asarray([[4.0]]), jnp.asarray([[0.0]]),
         obstacles, None, jnp.asarray(2.25), jnp.asarray(0.8), jnp.asarray(0.0))
     assert bool(hit[0])
+
+
+def test_reference_yaml_configs_load_verbatim():
+    """The reference repo's own per-scenario YAML files must load unchanged
+    (drop-in config compatibility)."""
+    import pathlib
+
+    from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
+
+    ref_dir = pathlib.Path("/root/reference/configurations")
+    if not ref_dir.exists():
+        pytest.skip("reference configurations not mounted")
+    for yaml_path in sorted(ref_dir.glob("*.yaml")):
+        config = ReactivePlannerConfiguration.load(yaml_path)
+        assert config.planning.dt == 0.1
+        assert config.planning.time_steps_computation == 20
+        assert config.vehicle.id_type_vehicle == 2
+        assert config.vehicle.wheelbase > 2.0      # pulled from the vehicle DB
