@@ -161,6 +161,7 @@ class ReactivePlanner:
 
     @property
     def infeasible_reason_dict(self) -> dict:
+        self._materialize_reason_stats()
         return self._infeasible_reason_dict
 
     @property
@@ -350,8 +351,26 @@ class ReactivePlanner:
         self._optimal_cost = 0
         self._infeasible_count_kinematics = 0
         self._infeasible_count_collision = 0
+        self._pending_reason_stats = None
         for constraint in self.config.planning.constraints_to_check:
             self._infeasible_reason_dict[constraint] = 0
+
+    def _materialize_reason_stats(self):
+        """Deferred device->host readback of the per-constraint counters
+        (each readback through a tunneled backend costs tens of ms; only pay
+        when the statistics are actually consumed)."""
+        pending = getattr(self, "_pending_reason_stats", None)
+        if pending is None:
+            return
+        masks_dev, goal_valid = pending
+        self._pending_reason_stats = None
+        masks = np.asarray(masks_dev)
+        feasible = masks[0].astype(bool)
+        reasons = masks[2]
+        for code, name in kin_ops.REASON_NAMES.items():
+            if name in self._infeasible_reason_dict:
+                self._infeasible_reason_dict[name] += int(
+                    np.sum((reasons == code) & goal_valid & ~feasible))
 
     # ------------------------------------------------------------------
     # initial-state transform (reactive_planner.py:446-512)
@@ -487,38 +506,42 @@ class ReactivePlanner:
             boundary_mode=boundary_mode,
             continuous_check=self.config.planning.continuous_collision_check)
 
-        # minimal host readbacks: found (scalar sync), one [3,K] mask pack,
-        # one [K] cost array, one [4] scalar pack, one [14,T] candidate pack
+        # minimal host readbacks on the hot path: found (scalar sync) + one
+        # [4] scalar pack + one [14,T] candidate pack; the per-constraint
+        # statistics ([3,K] masks) and cost distribution ([K]) are read back
+        # lazily only when consumed (debug logging, properties, viz)
         found = bool(result.found)
-        masks = np.asarray(result.masks)
-        feasible = masks[0].astype(bool)
-        collides = masks[1].astype(bool)
-        reasons = masks[2]
-        costs = np.asarray(result.costs)
         scalars = np.asarray(result.scalars)
         self.stage_timers.record("device_cycle", time.time() - t0)
-        logger.info("Device cycle evaluation took \t%.7fs", time.time() - t0)
+        logger.debug("Device cycle evaluation took \t%.7fs", time.time() - t0)
 
         # statistics with reference lazy-iteration semantics; goal-filtered
         # candidates never enter the kinematic check (:1076-1077)
         self._infeasible_count_kinematics = int(scalars[2])
         self._infeasible_count_collision = int(scalars[3])
-        for code, name in kin_ops.REASON_NAMES.items():
-            if name in self._infeasible_reason_dict:
-                self._infeasible_reason_dict[name] += int(
-                    np.sum((reasons == code) & goal_valid & ~feasible))
+        self._pending_reason_stats = (result.masks, goal_valid)
 
+        want_details = (self._draw_traj_set or
+                        logger.isEnabledFor(logging.DEBUG))
+        if want_details:
+            masks = np.asarray(result.masks)
+            feasible = masks[0].astype(bool)
+            collides = masks[1].astype(bool)
+            costs = np.asarray(result.costs)
         if self._draw_traj_set:
             self.stored_trajectories = BundleSummary(
                 x=np.asarray(result.rollout.x), y=np.asarray(result.rollout.y),
                 costs=costs, feasible=feasible, collides=collides)
 
-        feas_costs = costs[feasible]
-        bundle_stats = {
-            "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
-            "cost_span": float(feas_costs.max() - feas_costs.min())
-            if feas_costs.size else 0.0,
-        }
+        if want_details:
+            feas_costs = costs[feasible]
+            bundle_stats = {
+                "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
+                "cost_span": float(feas_costs.max() - feas_costs.min())
+                if feas_costs.size else 0.0,
+            }
+        else:
+            bundle_stats = None
         if not found:
             return None, bundle_stats
 

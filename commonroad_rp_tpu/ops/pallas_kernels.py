@@ -1,11 +1,16 @@
 """Pallas TPU kernels for the hot collision path.
 
-The XLA path (ops.collision) materializes [K, T, M] intermediates in HBM for
+The XLA path (ops.collision) materializes [T, M, K] intermediates in HBM for
 the separating-axis tests; this Pallas kernel keeps a candidate tile plus the
 full obstacle table resident in VMEM and accumulates the per-step hit mask
 in-register across obstacles — one HBM read per ego array, one write for the
 mask (reference counterpart: the pycrcc collide() loop at
 reactive_planner.py:1039-1046).
+
+Layout: T-major ([T, K] with the candidate axis on the 128-wide lanes), the
+same convention as ops.kinematics.  float32 only — Mosaic rejects 64-bit
+layouts, so inputs are downcast and the kernel must not run under x64 traces
+of f64 values.
 
 Falls back to interpreter mode off-TPU so the same code path is testable on
 the CPU mesh.
@@ -22,17 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from commonroad_rp_tpu.ops.collision import ObstacleArrays
 
-_TILE_K = 256
+_TILE_K = 512
 
 
 def _collision_kernel(cx_ref, cy_ref, theta_ref, obs_ref, obs_valid_ref,
                       ego_half_ref, out_ref, *, n_obstacles: int):
     """One candidate tile vs. every obstacle at every step.
 
-    cx/cy/theta: [TILE_K, T] ego OBB center poses.
-    obs: [M, T, 5] (cx, cy, theta, half_l, half_w); obs_valid: [M, T].
+    cx/cy/theta: [T, TILE_K] ego OBB center poses (T-major).
+    obs: [M, T, 5] (cx, cy, theta, half_l, half_w); obs_valid: [M, T] f32.
     ego_half: [1, 2] (half_length, half_width) in SMEM.
-    out: [TILE_K, T] float32 (1.0 where colliding).
+    out: [T, TILE_K] float32 (1.0 where colliding).
     """
     ex = cx_ref[:]
     ey = cy_ref[:]
@@ -44,35 +49,31 @@ def _collision_kernel(cx_ref, cy_ref, theta_ref, obs_ref, obs_valid_ref,
 
     hit = jnp.zeros_like(ex)
     for m in range(n_obstacles):                      # M is small and static
-        ox = obs_ref[m, :, 0][None, :]
-        oy = obs_ref[m, :, 1][None, :]
-        otheta = obs_ref[m, :, 2][None, :]
-        ohl = obs_ref[m, :, 3][None, :]
-        ohw = obs_ref[m, :, 4][None, :]
-        valid = obs_valid_ref[m, :][None, :] > 0.5
+        ox = obs_ref[m, :, 0][:, None]                # [T, 1]
+        oy = obs_ref[m, :, 1][:, None]
+        otheta = obs_ref[m, :, 2][:, None]
+        ohl = obs_ref[m, :, 3][:, None]
+        ohw = obs_ref[m, :, 4][:, None]
+        valid = obs_valid_ref[m, :][:, None] > 0.5
 
         o_cos = jnp.cos(otheta)
         o_sin = jnp.sin(otheta)
-        dx = ox - ex
+        dx = ox - ex                                  # [T, TILE_K]
         dy = oy - ey
         # relative rotation between the two frames
-        rel_cos = e_cos * o_cos + e_sin * o_sin       # cos(to - te)
-        rel_sin = o_sin * e_cos - o_cos * e_sin       # sin(to - te)
-        abs_c = jnp.abs(rel_cos)
-        abs_s = jnp.abs(rel_sin)
+        rel_cos = jnp.abs(e_cos * o_cos + e_sin * o_sin)
+        rel_sin = jnp.abs(o_sin * e_cos - o_cos * e_sin)
 
         # SAT on the ego axes
-        d_e_maj = jnp.abs(dx * e_cos + dy * e_sin)
-        d_e_min = jnp.abs(-dx * e_sin + dy * e_cos)
-        r_obs_maj = ohl * abs_c + ohw * abs_s
-        r_obs_min = ohl * abs_s + ohw * abs_c
-        sep = (d_e_maj > ehl + r_obs_maj) | (d_e_min > ehw + r_obs_min)
+        sep = (jnp.abs(dx * e_cos + dy * e_sin) >
+               ehl + ohl * rel_cos + ohw * rel_sin)
+        sep = sep | (jnp.abs(-dx * e_sin + dy * e_cos) >
+                     ehw + ohl * rel_sin + ohw * rel_cos)
         # SAT on the obstacle axes
-        d_o_maj = jnp.abs(dx * o_cos + dy * o_sin)
-        d_o_min = jnp.abs(-dx * o_sin + dy * o_cos)
-        r_ego_maj = ehl * abs_c + ehw * abs_s
-        r_ego_min = ehl * abs_s + ehw * abs_c
-        sep = sep | (d_o_maj > ohl + r_ego_maj) | (d_o_min > ohw + r_ego_min)
+        sep = sep | (jnp.abs(dx * o_cos + dy * o_sin) >
+                     ohl + ehl * rel_cos + ehw * rel_sin)
+        sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
+                     ohw + ehl * rel_sin + ehw * rel_cos)
 
         hit = jnp.maximum(hit, jnp.where(valid & ~sep, 1.0, 0.0))
     out_ref[:] = hit
@@ -95,17 +96,17 @@ def obb_collision_pallas(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
         return jnp.zeros(K, dtype=bool)
 
     dtype = jnp.float32
-    cx = (x + wb_rear_axle * jnp.cos(theta)).astype(dtype)
-    cy = (y + wb_rear_axle * jnp.sin(theta)).astype(dtype)
-    th = theta.astype(dtype)
+    theta_t = theta.T.astype(dtype)                               # [T, K]
+    cx = x.T.astype(dtype) + wb_rear_axle.astype(dtype) * jnp.cos(theta_t)
+    cy = y.T.astype(dtype) + wb_rear_axle.astype(dtype) * jnp.sin(theta_t)
 
-    # pad K to tile multiple
+    # pad K (the lane axis) to the tile multiple
     K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
     pad = K_pad - K
     if pad:
-        cx = jnp.pad(cx, ((0, pad), (0, 0)))
-        cy = jnp.pad(cy, ((0, pad), (0, 0)))
-        th = jnp.pad(th, ((0, pad), (0, 0)))
+        cx = jnp.pad(cx, ((0, 0), (0, pad)))
+        cy = jnp.pad(cy, ((0, 0), (0, pad)))
+        theta_t = jnp.pad(theta_t, ((0, 0), (0, pad)))
 
     obs = jnp.concatenate(
         [obstacles.pose.astype(dtype),
@@ -116,23 +117,23 @@ def obb_collision_pallas(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
     grid = (K_pad // _TILE_K,)
     out = pl.pallas_call(
         functools.partial(_collision_kernel, n_obstacles=M),
-        out_shape=jax.ShapeDtypeStruct((K_pad, T), dtype),
+        out_shape=jax.ShapeDtypeStruct((T, K_pad), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE_K, T), lambda i: (i, 0),
+            pl.BlockSpec((T, _TILE_K), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_K, T), lambda i: (i, 0),
+            pl.BlockSpec((T, _TILE_K), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE_K, T), lambda i: (i, 0),
+            pl.BlockSpec((T, _TILE_K), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, T, 5), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((M, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_TILE_K, T), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, _TILE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(cx, cy, th, obs, obstacles.valid.astype(dtype), ego_half)
+    )(cx, cy, theta_t, obs, obstacles.valid.astype(dtype), ego_half)
 
-    return jnp.any(out[:K] > 0.5, axis=1)
+    return jnp.any(out[:, :K] > 0.5, axis=0)
