@@ -44,6 +44,7 @@ class FleetScene(NamedTuple):
     corridor_lo: jnp.ndarray               # [F, P] drivable band lower offset
     corridor_hi: jnp.ndarray               # [F, P] drivable band upper offset
     desired_speed: jnp.ndarray             # [F]
+    veh: kin_ops.VehicleArrays             # leaves [F] (per-problem vehicles)
 
 
 class FleetCarry(NamedTuple):
@@ -73,8 +74,8 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                           ref: frenet_ops.RefPathTables,
                           obs_pose, obs_half, obs_valid,
                           corridor_lo, corridor_hi, desired_speed,
-                          *, veh: kin_ops.VehicleArrays,
-                          static_grid: grid_ops.StaticGrid,
+                          veh: kin_ops.VehicleArrays,
+                          *, static_grid: grid_ops.StaticGrid,
                           dt: float, n_steps: int, replan_offset: int,
                           low_vel_threshold: float, horizon: float):
     """One planning cycle for ONE problem (vmapped over the fleet shard)."""
@@ -134,7 +135,7 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
     return out_carry, metrics
 
 
-def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
+def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                     static_grid: grid_ops.StaticGrid, dt: float, n_steps: int,
                     replan_offset: int, low_vel_threshold: float,
                     horizon: float):
@@ -142,20 +143,25 @@ def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
 
     Returns step(carry: FleetCarry, scene: FleetScene) ->
     (FleetCarry, CycleMetrics), with the fleet axis sharded over ``mesh`` and
-    fleet aggregates reduced with psum over ICI.
+    fleet aggregates reduced with psum over ICI.  Vehicle parameters come
+    from scene.veh ([F]-shaped leaves: heterogeneous fleets); the ``veh``
+    argument, if given, overrides them with one shared parameter set
+    (backward compatibility).
     """
     cycle = functools.partial(
-        _single_problem_cycle, veh=veh, static_grid=static_grid, dt=dt,
+        _single_problem_cycle, static_grid=static_grid, dt=dt,
         n_steps=n_steps, replan_offset=replan_offset,
         low_vel_threshold=low_vel_threshold, horizon=horizon)
-    vcycle = jax.vmap(cycle)
+    vcycle = jax.vmap(cycle,
+                      in_axes=(0,) * 13 + (None if veh is not None else 0,))
 
     def local_step(carry: FleetCarry, scene: FleetScene):
         out_carry, (found, best_cost, x, y) = vcycle(
             carry.x0_lon, carry.x0_lat, carry.orientation, carry.velocity,
             carry.time_step, carry.alive, scene.ref, scene.obs_pose,
             scene.obs_half, scene.obs_valid, scene.corridor_lo,
-            scene.corridor_hi, scene.desired_speed)
+            scene.corridor_hi, scene.desired_speed,
+            veh if veh is not None else scene.veh)
         new_carry = FleetCarry(*out_carry)
         # fleet-level aggregates: ICI collectives across the mesh
         n_success = jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS)
@@ -176,7 +182,8 @@ def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
                       obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
                       obs_valid=P(FLEET_AXIS), corridor_lo=P(FLEET_AXIS),
                       corridor_hi=P(FLEET_AXIS),
-                      desired_speed=P(FLEET_AXIS))),
+                      desired_speed=P(FLEET_AXIS),
+                      veh=kin_ops.VehicleArrays(*([P(FLEET_AXIS)] * 8)))),
         out_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
                    CycleMetrics(found=P(FLEET_AXIS), best_cost=P(FLEET_AXIS),
                                 x=P(FLEET_AXIS), y=P(FLEET_AXIS),
@@ -185,7 +192,7 @@ def make_fleet_step(mesh: Mesh, veh: kin_ops.VehicleArrays,
     return sharded
 
 
-def make_fleet_rollout(mesh: Mesh, veh: kin_ops.VehicleArrays,
+def make_fleet_rollout(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                        static_grid: grid_ops.StaticGrid, dt: float,
                        n_steps: int, replan_offset: int,
                        low_vel_threshold: float, horizon: float,
@@ -277,10 +284,25 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     corridor_lo = jnp.asarray(np.stack([c[0] for c in corrs]), dtype)
     corridor_hi = jnp.asarray(np.stack([c[1] for c in corrs]), dtype)
 
+    # per-problem vehicle parameter stacks (heterogeneous fleets); problems
+    # without an explicit 'vehicle' entry default to the BMW 320i set
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+
+    veh_rows = []
+    for p in problems:
+        cfg = p.get("vehicle") or VehicleConfiguration()
+        veh_rows.append([cfg.wheelbase, cfg.wb_rear_axle, cfg.a_max,
+                         cfg.v_switch, np.tan(cfg.delta_max) / cfg.wheelbase,
+                         cfg.v_delta_max, 0.5 * cfg.length, 0.5 * cfg.width])
+    veh_mat = np.asarray(veh_rows, dtype=np.float64)
+    veh_stacked = kin_ops.VehicleArrays(
+        *[jnp.asarray(veh_mat[:, i], dtype) for i in range(8)])
+
     scene = FleetScene(
         ref=ref_stacked, obs_pose=obs_pose, obs_half=obs_half,
         obs_valid=obs_valid, corridor_lo=corridor_lo, corridor_hi=corridor_hi,
-        desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype))
+        desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype),
+        veh=veh_stacked)
     carry = FleetCarry(
         x0_lon=jnp.asarray(np.stack([p["x0_lon"] for p in problems]), dtype),
         x0_lat=jnp.asarray(np.stack([p["x0_lat"] for p in problems]), dtype),
@@ -294,14 +316,18 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
 
 def problem_from_planner_setup(scenario, planning_problem, reference_path,
                                n_steps: int, horizon_pad: int,
-                               dtype=jnp.float32) -> dict:
-    """Build one fleet-problem dict from scenario data (host, once)."""
+                               dtype=jnp.float32, vehicle=None) -> dict:
+    """Build one fleet-problem dict from scenario data (host, once).
+
+    ``vehicle``: optional VehicleConfiguration for heterogeneous fleets
+    (defaults to the BMW 320i parameter set, config.py:198).
+    """
     from commonroad_rp_tpu.models.state import ReactivePlannerState
     from commonroad_rp_tpu.utils.config import VehicleConfiguration
     from commonroad_rp_tpu.utils.coordinate_system import CoordinateSystem
     from commonroad_rp_tpu.utils.general import retrieve_desired_velocity_from_pp
 
-    veh_cfg = VehicleConfiguration()
+    veh_cfg = vehicle or VehicleConfiguration()
     co = CoordinateSystem(reference_path, dtype=dtype)
     x_0 = ReactivePlannerState.create_from_initial_state(
         planning_problem.initial_state, veh_cfg.wheelbase, veh_cfg.wb_rear_axle)
@@ -324,7 +350,7 @@ def problem_from_planner_setup(scenario, planning_problem, reference_path,
     boundary = collision_ops.compile_road_boundary(scenario, dtype=dtype)
     corridor = collision_ops.compile_corridor(boundary, co.tables, dtype=dtype)
     return dict(ref_tables=co.tables, obstacles=obstacles, boundary=boundary,
-                corridor=corridor,
+                corridor=corridor, vehicle=veh_cfg,
                 x0_lon=x0_lon, x0_lat=x0_lat, orientation=x_0.orientation,
                 velocity=x_0.velocity, time_step=0,
                 desired_speed=retrieve_desired_velocity_from_pp(planning_problem))

@@ -67,3 +67,34 @@ def test_check_acceleration_consistency():
     states = [TraceState(time_step=i, velocity=5.0 + 0.1 * i, acceleration=1.0)
               for i in range(10)]
     assert ev.check_acceleration(Cfg, states)
+
+
+def test_solution_xml_roundtrip(tmp_path):
+    """Solution -> XML file -> Solution preserves trajectory states."""
+    import numpy as np
+
+    from commonroad_rp_tpu.models.state import ReactivePlannerState
+    from commonroad_rp_tpu.models.trajectories import Trajectory
+    from commonroad_rp_tpu.utils import solution_writer as sw
+    from commonroad_rp_tpu.utils.evaluation import (PlanningProblemSolution,
+                                                    Solution)
+
+    states = [ReactivePlannerState(
+        time_step=i, position=np.array([1.0 * i, 0.5 * i]),
+        steering_angle=0.01 * i, velocity=10.0 + i, orientation=0.1 * i)
+        for i in range(5)]
+    solution = Solution("ZAM_Over-1_1", [PlanningProblemSolution(
+        planning_problem_id=1, vehicle_type=2, vehicle_model="KS",
+        cost_function="JB1", trajectory=Trajectory(0, states))])
+
+    path = str(tmp_path / "solution.xml")
+    sw.write_solution_file(solution, path, computation_time=1.23)
+    back = sw.read_solution_file(path)
+
+    assert back.scenario_id == "ZAM_Over-1_1"
+    pps = back.planning_problem_solutions[0]
+    assert pps.vehicle_model == "KS" and pps.vehicle_type == 2
+    assert len(pps.trajectory.state_list) == 5
+    for a, b in zip(states, pps.trajectory.state_list):
+        np.testing.assert_allclose(a.position, b.position, atol=1e-9)
+        assert a.time_step == b.time_step

@@ -141,3 +141,45 @@ def test_mixed_scenario_fleet(repo_root):
     # fleet aggregate equals the per-problem sum on every cycle
     np.testing.assert_array_equal(np.asarray(metrics.fleet_success),
                                   found.sum(axis=1))
+
+
+def test_heterogeneous_vehicle_fleet(repo_root):
+    """Per-problem vehicle parameters (scene.veh) drive the constraints: a
+    Ford Escort's tighter steering limit rejects more candidates than the
+    BMW 320i's on the same scene."""
+    import jax
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops import grid as grid_ops
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+
+    n_steps, dt = 20, 0.1
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+
+    problems = [
+        fleet_ops.problem_from_planner_setup(
+            scenario, pp, route.reference_path, n_steps=n_steps,
+            horizon_pad=30, dtype=jnp.float32,
+            vehicle=VehicleConfiguration(id_type_vehicle=vid))
+        for vid in (1, 2, 3)]
+    scene, carry = fleet_ops.build_fleet_scene(problems, n_steps,
+                                               dtype=jnp.float32)
+    # per-problem kappa_max differs across vehicle types
+    kappas = np.asarray(scene.veh.kappa_max)
+    assert len(set(np.round(kappas, 6))) == 3
+
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+    step = fleet_ops.make_fleet_step(
+        make_fleet_mesh(1), veh=None, static_grid=grid, dt=dt,
+        n_steps=n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * dt)
+    new_carry, metrics = jax.jit(step)(carry, scene)
+    jax.block_until_ready(new_carry)
+    assert bool(np.all(np.asarray(metrics.found))), \
+        "all three vehicle types should plan on ZAM_Over"
