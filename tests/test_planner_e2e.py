@@ -106,3 +106,42 @@ def test_route_planner_all_scenarios(repo_root):
         # the reference path passes near the initial position
         d = np.min(np.linalg.norm(ref - pp.initial_state.position, axis=1))
         assert d < 5.0, f"{name}: reference path {d:.1f} m from initial state"
+
+
+def test_default_long_horizon(repo_root):
+    """The default 6 s horizon (N=60, T=61) plans a full cycle."""
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Over-1_1.xml")
+    config.update()
+    config.planning.time_steps_computation = 60      # config.py:114 default
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes().retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    result = planner.plan()
+    assert result is not None
+    assert len(result[0].state_list) == 61
+
+
+def test_factor_time_scaling(repo_root):
+    """planning.factor scales ego steps to scenario steps for dynamic
+    obstacles (reactive_planner.py:1040) and output time stamps (:531)."""
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "DEU_Test-1_1_T-1.yaml",
+        "DEU_Test-1_1_T-1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("DEU_Test-1_1_T-1.xml")
+    config.update()
+    config.planning.factor = 2
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes().retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    result = planner.plan()
+    assert result is not None
+    steps = [s.time_step for s in result[0].state_list]
+    assert steps[1] - steps[0] == 2                  # scaled time stamps
