@@ -174,3 +174,43 @@ def test_reference_yaml_configs_load_verbatim():
         assert config.planning.time_steps_computation == 20
         assert config.vehicle.id_type_vehicle == 2
         assert config.vehicle.wheelbase > 2.0      # pulled from the vehicle DB
+
+
+@pytest.mark.parametrize("name", ["ZAM_Over-1_1", "DEU_Test-1_1_T-1",
+                                  "ZAM_Tjunction-1_42_T-1"])
+def test_scenario_writer_roundtrip(tmp_path, name):
+    """read -> write -> read preserves the scene and planning problem."""
+    import pathlib
+
+    from commonroad_rp_tpu.utils.scenario_writer import write_scenario_xml
+
+    src = pathlib.Path(__file__).parent.parent / "example_scenarios" / f"{name}.xml"
+    scenario, pps = read_scenario_xml(str(src))
+    out = str(tmp_path / "roundtrip.xml")
+    write_scenario_xml(scenario, out, pps)
+    back, back_pps = read_scenario_xml(out)
+
+    assert back.scenario_id == scenario.scenario_id
+    assert back.dt == scenario.dt
+    assert len(back.lanelet_network.lanelets) == len(scenario.lanelet_network.lanelets)
+    assert len(back.static_obstacles) == len(scenario.static_obstacles)
+    assert len(back.dynamic_obstacles) == len(scenario.dynamic_obstacles)
+    for a, b in zip(scenario.lanelet_network.lanelets,
+                    back.lanelet_network.lanelets):
+        np.testing.assert_allclose(a.left_vertices, b.left_vertices, atol=1e-5)
+        assert a.successors == b.successors
+        assert a.adj_left == b.adj_left
+    for a, b in zip(scenario.dynamic_obstacles, back.dynamic_obstacles):
+        assert len(a.trajectory) == len(b.trajectory)
+        s_a = a.state_at_time(5)
+        s_b = b.state_at_time(5)
+        if s_a is not None:
+            np.testing.assert_allclose(s_a.position, s_b.position, atol=1e-5)
+    pp_a = list(pps.planning_problem_dict.values())[0]
+    pp_b = list(back_pps.planning_problem_dict.values())[0]
+    np.testing.assert_allclose(pp_a.initial_state.position,
+                               pp_b.initial_state.position, atol=1e-5)
+    assert len(pp_a.goal.state_list) == len(pp_b.goal.state_list)
+    ga, gb = pp_a.goal.state_list[0], pp_b.goal.state_list[0]
+    assert ga.position_lanelets == gb.position_lanelets
+    assert len(ga.position_shapes) == len(gb.position_shapes)
