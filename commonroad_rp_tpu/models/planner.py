@@ -372,6 +372,18 @@ class ReactivePlanner:
                 self._infeasible_reason_dict[name] += int(
                     np.sum((reasons == code) & goal_valid & ~feasible))
 
+    def _create_trajectory_bundle(self, x_0_lon, x_0_lat,
+                                  samp_level: int) -> CandidateBatch:
+        """Sample the candidate bundle for one level (reactive_planner.py:421-444).
+
+        Returns the dense CandidateBatch (the array-of-candidates replacement
+        for the reference's TrajectoryBundle). No feasibility or collision
+        checking happens here.
+        """
+        return self.sampling_space.generate_trajectories_at_level(
+            samp_level, np.asarray(x_0_lon), np.asarray(x_0_lat),
+            self.config.sampling.longitudinal_mode, self._low_vel_mode)
+
     # ------------------------------------------------------------------
     # initial-state transform (reactive_planner.py:446-512)
     # ------------------------------------------------------------------
@@ -420,9 +432,7 @@ class ReactivePlanner:
 
         while optimal_trajectory is None and i < self.sampling_level:
             with self.stage_timers.stage("grid_generation"):
-                batch = self.sampling_space.generate_trajectories_at_level(
-                    i, np.asarray(x_0_lon), np.asarray(x_0_lat),
-                    self.config.sampling.longitudinal_mode, self._low_vel_mode)
+                batch = self._create_trajectory_bundle(x_0_lon, x_0_lat, i)
             logger.info("Sampling level %d/%d: %d candidates", i + 1,
                         self.sampling_level, batch.size)
             optimal_trajectory, bundle_stats = self._get_optimal_trajectory(batch)

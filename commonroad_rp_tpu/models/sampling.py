@@ -290,7 +290,19 @@ class CorridorSampling(SamplingSpace):
                                       self._num_sampling_levels, self.dt)
         self._corridor = None
         self._num_samples: Dict[int, int] = {}
-        n = 3
+        self.set_dict_number_of_samples()
+
+    def set_dict_number_of_samples(self, n_min: int = 3,
+                                   dict_level_to_num_samples: Dict[int, int] = None):
+        """Configure samples per level (sampling.py:323-338): either the
+        n -> 2n-1 ladder from ``n_min`` or an explicit per-level dict."""
+        if dict_level_to_num_samples is not None:
+            for level in range(self._num_sampling_levels):
+                assert level in dict_level_to_num_samples, \
+                    f"<CorridorSampling.set_dict_number_of_samples()>: missing level {level}"
+            self._num_samples = dict(dict_level_to_num_samples)
+            return
+        n = n_min
         for i in range(self._num_sampling_levels):
             self._num_samples[i] = n
             n = (n * 2) - 1
