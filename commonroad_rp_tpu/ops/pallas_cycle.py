@@ -1,0 +1,391 @@
+"""Fused Pallas candidate-scoring kernel: the whole evaluation in VMEM.
+
+The XLA cycle writes ~40 [K, T] intermediate arrays through HBM; for the
+fleet path only the masked costs matter (the winner's trajectory is
+recomputed afterwards for a single candidate).  This kernel fuses polynomial
+rollout, the Werling transform (with MXU one-hot table gathers), the
+kinematic constraint masks, Frenet->Cartesian conversion, the cost
+reduction, the corridor road-boundary check, and the obstacle OBB SAT into
+ONE VMEM-resident program per candidate tile, emitting a single [K]
+masked-cost row — candidate states never touch HBM.
+
+Scope: fleet-path scoring (no per-constraint reason statistics — the facade's
+conformance path keeps the XLA kernels).  float32 only; do not trace under
+x64 values.  Layout: T-major ([T, TILE_K]) like ops.kinematics.
+
+Packed reference-table columns (``pack_ref_tables``):
+    0: s      1: theta   2: curv   3: curv_d   4: d_lo   5: d_hi
+    6: px     7: py      8: tx     9: ty      10: nx    11: ny
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from commonroad_rp_tpu.ops import frenet as frenet_ops
+from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
+from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
+
+_TILE_K = 512
+_LANE = 128
+_NUM_COLS = 12
+
+# scalar-parameter slots (SMEM row)
+_NUM_SCALARS = 16
+(_S_WHEELBASE, _S_WB_REAR, _S_A_MAX, _S_V_SWITCH, _S_KAPPA_MAX,
+ _S_V_DELTA_MAX, _S_HALF_LEN, _S_HALF_WID, _S_X0_THETA, _S_DT, _S_LOW_VEL,
+ _S_DESIRED_V, _S_DESIRED_D, _S_W_A, _S_REF_S_LAST, _S_SPARE) = range(_NUM_SCALARS)
+
+
+def pack_ref_tables(ref: frenet_ops.RefPathTables,
+                    corridor: CorridorArrays) -> jnp.ndarray:
+    """[P_pad, 12] packed interpolation + corridor + geometry table."""
+    packed = jnp.concatenate([
+        jnp.stack([ref.s, ref.theta, ref.curv, ref.curv_d,
+                   corridor.d_lo, corridor.d_hi], axis=1),
+        ref.points, ref.tangent, ref.normal], axis=1).astype(jnp.float32)
+    P = packed.shape[0]
+    P_pad = ((P + _LANE - 1) // _LANE) * _LANE
+    if P_pad != P:
+        # padded rows continue the final arclength monotonically so the
+        # compare-count searchsorted is unchanged for in-domain queries
+        pad_rows = jnp.tile(packed[-1:], (P_pad - P, 1))
+        pad_rows = pad_rows.at[:, 0].add(
+            1e7 * jnp.arange(1, P_pad - P + 1, dtype=jnp.float32))
+        packed = jnp.concatenate([packed, pad_rows], axis=0)
+    return packed
+
+
+def _lookup(s_row, table, table_next, P):
+    """One-chunk table gather: rows at idx = count(s_vertex <= s) - 1 (with
+    the reference's wrap-to-last for idx == -1) and at idx + 1."""
+    s_col = table[:, 0]
+    le = (s_col[None, :] <= s_row[:, None]).astype(jnp.float32)   # [TILE, P]
+    idx = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+    idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
+    iota = jax.lax.broadcasted_iota(jnp.int32, (s_row.shape[0], P), 1)
+    onehot = (iota == idx_mod[:, None]).astype(jnp.float32)
+    dot = lambda tab: jax.lax.dot_general(
+        onehot, tab, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return dot(table), dot(table_next)
+
+
+def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
+                    goal_valid_ref, table_ref, obs_ref, cost_ref,
+                    *, n_steps: int, n_obstacles: int, p_rows: int,
+                    check_flags: tuple):
+    T = n_steps + 1
+    TILE = cost_ref.shape[1]
+    dt = scalars_ref[0, _S_DT]
+    low_vel = scalars_ref[0, _S_LOW_VEL] > 0.5
+    wheelbase = scalars_ref[0, _S_WHEELBASE]
+    a_max = scalars_ref[0, _S_A_MAX]
+    v_switch = scalars_ref[0, _S_V_SWITCH]
+    kappa_max = scalars_ref[0, _S_KAPPA_MAX]
+    v_delta_max = scalars_ref[0, _S_V_DELTA_MAX]
+    x0_theta = scalars_ref[0, _S_X0_THETA]
+    ref_s_last = scalars_ref[0, _S_REF_S_LAST]
+
+    c_lon = coeffs_lon_ref[:]                               # [6, TILE]
+    c_lat = coeffs_lat_ref[:]
+    traj_len = traj_len_ref[0, :]                           # [TILE] f32
+    step = jax.lax.broadcasted_iota(jnp.float32, (T, TILE), 0)
+    active = step < traj_len[None, :]
+    t = step * dt
+
+    def poly_eval(c, tau):
+        tau2 = tau * tau
+        tau3 = tau2 * tau
+        tau4 = tau2 * tau2
+        tau5 = tau4 * tau
+        p = (c[0][None, :] + c[1][None, :] * tau + c[2][None, :] * tau2 +
+             c[3][None, :] * tau3 + c[4][None, :] * tau4 + c[5][None, :] * tau5)
+        v = (c[1][None, :] + 2.0 * c[2][None, :] * tau + 3.0 * c[3][None, :] * tau2
+             + 4.0 * c[4][None, :] * tau3 + 5.0 * c[5][None, :] * tau4)
+        a = (2.0 * c[2][None, :] + 6.0 * c[3][None, :] * tau
+             + 12.0 * c[4][None, :] * tau2 + 20.0 * c[5][None, :] * tau3)
+        return p, v, a
+
+    s, s_dot, s_ddot = poly_eval(c_lon, t)
+    s = jnp.where(active, s, 0.0)
+    s_dot = jnp.where(active, s_dot, 0.0)
+    s_ddot = jnp.where(active, s_ddot, 0.0)
+
+    tau_lat = jnp.where(active, jnp.where(low_vel, s - s[:1, :], t), 0.0)
+    d, d_dot, d_ddot = poly_eval(c_lat, tau_lat)
+    d = jnp.where(active, d, 0.0)
+    d_dot = jnp.where(active, d_dot, 0.0)
+    d_ddot = jnp.where(active, d_ddot, 0.0)
+
+    s_dot = jnp.where(jnp.abs(s_dot) < _EPS, 0.0, s_dot)
+    d_dot = jnp.where(jnp.abs(d_dot) < _EPS, 0.0, d_dot)
+
+    prefiltered = (jnp.any(jnp.abs(s_ddot) > a_max, axis=0) |
+                   jnp.any(s_dot < -_EPS, axis=0))
+
+    # ---- table gathers per time chunk (MXU one-hot) ----------------------
+    table = table_ref[:]
+    table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
+    lo_rows = []
+    hi_rows = []
+    for c in range(T):                                      # static, small T
+        vals_lo, vals_hi = _lookup(s[c], table, table_next, p_rows)
+        lo_rows.append(vals_lo)
+        hi_rows.append(vals_hi)
+    lo = jnp.stack(lo_rows, axis=0)                         # [T, TILE, 12]
+    hi = jnp.stack(hi_rows, axis=0)
+
+    lam = (s - lo[..., 0]) / (hi[..., 0] - lo[..., 0])
+    two_pi = np.float32(2.0 * np.pi)
+    raw = (hi[..., 1] - lo[..., 1]) * lam + lo[..., 1]
+    interp_theta = raw - two_pi * jnp.trunc(raw / two_pi)
+    k_r = (hi[..., 2] - lo[..., 2]) * lam + lo[..., 2]
+    k_r_d = (hi[..., 3] - lo[..., 3]) * lam + lo[..., 3]
+
+    # Frenet -> Cartesian from the same gathered rows (divergence from the
+    # clipped-segment convention only affects out-of-domain candidates,
+    # which are masked infeasible below)
+    ds = s - lo[..., 0]
+    ego_x = lo[..., 6] + ds * lo[..., 8] + d * lo[..., 10]
+    ego_y = lo[..., 7] + ds * lo[..., 9] + d * lo[..., 11]
+
+    # ---- Werling transform ------------------------------------------------
+    moving = s_dot > 0.001
+    sv_safe = jnp.where(moving, s_dot, 1.0)
+    dp_high = jnp.where(moving, d_dot / sv_safe, 0.0)
+    ddot_w = d_ddot - dp_high * s_ddot
+    dpp_high = jnp.where(moving, ddot_w / (sv_safe * sv_safe), 0.0)
+    dp = jnp.where(low_vel, d_dot, dp_high)
+    dpp = jnp.where(low_vel, d_ddot, dpp_high)
+
+    theta_cl_move = jnp.arctan2(dp, jnp.ones_like(dp))
+    theta_gl_move = theta_cl_move + interp_theta
+    use_move = moving | low_vel
+
+    rows = []
+    hold = jnp.full((TILE,), x0_theta, jnp.float32)
+    for c in range(T):
+        hold = jnp.where(use_move[c], theta_gl_move[c], hold)
+        rows.append(hold)
+    theta_gl = jnp.stack(rows, axis=0)
+    theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
+
+    one_krd = 1.0 - k_r * d
+    cos_t = jnp.cos(theta_cl)
+    tan_t = jnp.tan(theta_cl)
+    kappa_gl = ((dpp + (k_r * dp + k_r_d * d) * tan_t) * cos_t *
+                (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
+    v = s_dot * (one_krd / cos_t)
+    a = (s_ddot * one_krd / cos_t + ((s_dot ** 2) / cos_t) *
+         (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
+          (k_r_d * d + k_r * dp)))
+
+    # ---- constraint masks -------------------------------------------------
+    cv, ca_f, ck, ckd, cy = check_flags
+    viol = jnp.zeros((T, TILE), dtype=jnp.bool_)
+    first_row = step < 1.0
+    if cv:
+        viol = viol | (v < -_EPS)
+    if ck:
+        viol = viol | (jnp.abs(kappa_gl) > kappa_max)
+    if cy:
+        prev_theta = jnp.concatenate([theta_gl[:1], theta_gl[:-1]], axis=0)
+        yaw = jnp.where(first_row, 0.0, (theta_gl - prev_theta) / dt)
+        yaw_r = jnp.round(yaw * 1e5) / 1e5
+        viol = viol | (jnp.abs(yaw_r) > kappa_max * v)
+    if ckd:
+        steer = jnp.arctan2(wheelbase * kappa_gl, jnp.ones_like(kappa_gl))
+        kd_max = v_delta_max / (wheelbase * jnp.cos(steer) ** 2)
+        prev_k = jnp.concatenate([kappa_gl[:1], kappa_gl[:-1]], axis=0)
+        kd = jnp.where(first_row, 0.0, (kappa_gl - prev_k) / dt)
+        viol = viol | (jnp.abs(kd) > kd_max)
+    if ca_f:
+        v_safe = jnp.where(v > v_switch, v, 1.0)
+        a_hi = jnp.where(v > v_switch, a_max * v_switch / v_safe, a_max)
+        viol = viol | (a < -a_max) | (a > a_hi)
+    kin_feasible = ~prefiltered & ~jnp.any(viol & active, axis=0)
+    domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0)
+    feasible = kin_feasible & domain_ok & (goal_valid_ref[0, :] > 0.5)
+
+    # ---- enlarge (constant-acceleration extension) ------------------------
+    ext = ~active
+    last = traj_len - 1.0
+    last_sel = (step == last[None, :]).astype(jnp.float32)
+    take_last = lambda arr: jnp.sum(arr * last_sel, axis=0)[None, :]
+    t_rel = (step - last[None, :]) * dt
+
+    a_last = take_last(a)
+    v_temp = take_last(v) + t_rel * a_last
+    v_temp = v_temp * (v_temp >= 0)
+    theta_last = take_last(theta_gl)
+    cos_last = jnp.cos(theta_last)
+    sin_last = jnp.sin(theta_last)
+    # positions: cumulative sum of dt * v_temp along T for extended steps
+    incr_x = jnp.where(ext, dt * v_temp * cos_last, 0.0)
+    incr_y = jnp.where(ext, dt * v_temp * sin_last, 0.0)
+    ego_x = jnp.where(ext, take_last(ego_x) + jnp.cumsum(incr_x, axis=0), ego_x)
+    ego_y = jnp.where(ext, take_last(ego_y) + jnp.cumsum(incr_y, axis=0), ego_y)
+    v = jnp.where(ext, v_temp, v)
+    a = jnp.where(ext, a_last, a)
+    theta_gl = jnp.where(ext, theta_last, theta_gl)
+    theta_cl = jnp.where(ext, take_last(theta_cl), theta_cl)
+    s_dot_last = take_last(s_dot)
+    s = jnp.where(ext, take_last(s) + t_rel * s_dot_last, s)
+    d = jnp.where(ext, take_last(d) + t_rel * take_last(d_dot), d)
+
+    # ---- cost (DefaultCostFunction) ---------------------------------------
+    w_a = scalars_ref[0, _S_W_A]
+    desired_v = scalars_ref[0, _S_DESIRED_V]
+    desired_d = scalars_ref[0, _S_DESIRED_D]
+    costs = jnp.sum((w_a * a) ** 2, axis=0)
+    costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0)
+                     + 50.0 * (v[-1] - desired_v) ** 2
+                     + 100.0 * (v[T // 2] - desired_v) ** 2)
+    costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0)
+                     + (20.0 * (desired_d - d[-1])) ** 2)
+    costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0)
+                     + (5.0 * jnp.abs(theta_cl[-1])) ** 2)
+
+    # ---- corridor road-boundary check (post-enlarge states, 3 probes) -----
+    half_len = scalars_ref[0, _S_HALF_LEN]
+    half_wid = scalars_ref[0, _S_HALF_WID]
+    wb_rear = scalars_ref[0, _S_WB_REAR]
+    s_center = s + wb_rear * jnp.cos(theta_cl)
+    d_center = d + wb_rear * jnp.sin(theta_cl)
+    lat_ext = (half_wid * jnp.abs(jnp.cos(theta_cl)) +
+               half_len * jnp.abs(jnp.sin(theta_cl)))
+    lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
+               half_wid * jnp.abs(jnp.sin(theta_cl)))
+    collides = jnp.zeros((TILE,), dtype=jnp.bool_)
+    for offset in (-1.0, 0.0, 1.0):
+        # clamp into the table span: mirrors the XLA path's clipped-segment
+        # gather convention for probes beyond the path ends
+        s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
+        for c in range(T):
+            vals_lo, _ = _lookup(s_probe[c], table, table_next, p_rows)
+            # corridor gathers use the clipped-segment convention: clip the
+            # wrap by falling back to the last row's bands (identical values)
+            row_viol = ((d_center[c] + lat_ext[c] > vals_lo[:, 5]) |
+                        (d_center[c] - lat_ext[c] < vals_lo[:, 4]))
+            collides = collides | row_viol
+    # ---- obstacle OBB SAT (ego center poses vs obstacle table) ------------
+    e_theta = theta_gl
+    e_cos = jnp.cos(e_theta)
+    e_sin = jnp.sin(e_theta)
+    ecx = ego_x + wb_rear * e_cos
+    ecy = ego_y + wb_rear * e_sin
+    for m in range(n_obstacles):
+        ox = obs_ref[m, :, 0][:, None]
+        oy = obs_ref[m, :, 1][:, None]
+        otheta = obs_ref[m, :, 2][:, None]
+        ohl = obs_ref[m, :, 3][:, None]
+        ohw = obs_ref[m, :, 4][:, None]
+        valid = obs_ref[m, :, 5][:, None] > 0.5
+
+        o_cos = jnp.cos(otheta)
+        o_sin = jnp.sin(otheta)
+        dx = ox - ecx
+        dy = oy - ecy
+        rel_cos = jnp.abs(e_cos * o_cos + e_sin * o_sin)
+        rel_sin = jnp.abs(o_sin * e_cos - o_cos * e_sin)
+        sep = (jnp.abs(dx * e_cos + dy * e_sin) >
+               half_len + ohl * rel_cos + ohw * rel_sin)
+        sep = sep | (jnp.abs(-dx * e_sin + dy * e_cos) >
+                     half_wid + ohl * rel_sin + ohw * rel_cos)
+        sep = sep | (jnp.abs(dx * o_cos + dy * o_sin) >
+                     ohl + half_len * rel_cos + half_wid * rel_sin)
+        sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
+                     ohw + half_len * rel_sin + half_wid * rel_cos)
+        collides = collides | jnp.any(valid & ~sep, axis=0)
+
+    masked = jnp.where(feasible & ~collides, costs, jnp.float32(np.inf))
+    cost_ref[0, :] = masked
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
+                                             "interpret"))
+def score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
+                            traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
+                            packed_table: jnp.ndarray,
+                            obstacles: ObstacleArrays,
+                            veh: VehicleArrays,
+                            x0_orientation, dt: float,
+                            low_vel, desired_speed, desired_d, w_a,
+                            *, n_steps: int,
+                            check_flags: tuple = (True,) * 5,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Masked candidate costs [K] from the fused VMEM scoring kernel.
+
+    Equivalent (for velocity-keeping fleet scoring) of
+    rollout + default_cost + check_corridor + check_collisions with
+    infeasible/colliding candidates at +inf.
+    """
+    dtype = jnp.float32
+    K = coeffs_lon.shape[0]
+    T = n_steps + 1
+    P = packed_table.shape[0]
+    M = obstacles.pose.shape[0]
+
+    K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
+    pad = K_pad - K
+    cl = jnp.pad(coeffs_lon.T.astype(dtype), ((0, 0), (0, pad)))
+    ca = jnp.pad(coeffs_lat.T.astype(dtype), ((0, 0), (0, pad)))
+    tl = jnp.pad(traj_len.astype(dtype)[None, :], ((0, 0), (0, pad)))
+    gv = jnp.pad(goal_valid.astype(dtype)[None, :], ((0, 0), (0, pad)))
+
+    if M > 0:
+        obs = jnp.concatenate(
+            [obstacles.pose.astype(dtype),
+             jnp.broadcast_to(obstacles.half_ext[:, None, :], (M, T, 2)).astype(dtype),
+             obstacles.valid.astype(dtype)[..., None]], axis=-1)   # [M, T, 6]
+    else:
+        obs = jnp.zeros((1, T, 6), dtype)
+
+    scalars = jnp.zeros((1, _NUM_SCALARS), dtype)
+    values = [
+        (_S_WHEELBASE, veh.wheelbase), (_S_WB_REAR, veh.wb_rear_axle),
+        (_S_A_MAX, veh.a_max), (_S_V_SWITCH, veh.v_switch),
+        (_S_KAPPA_MAX, veh.kappa_max), (_S_V_DELTA_MAX, veh.v_delta_max),
+        (_S_HALF_LEN, veh.half_length), (_S_HALF_WID, veh.half_width),
+        (_S_X0_THETA, x0_orientation), (_S_DT, dt),
+        (_S_LOW_VEL, jnp.asarray(low_vel, dtype)),
+        (_S_DESIRED_V, desired_speed), (_S_DESIRED_D, desired_d),
+        (_S_W_A, w_a), (_S_REF_S_LAST, packed_table[:, 0].max())]
+    for slot, value in values:
+        scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
+
+    grid = (K_pad // _TILE_K,)
+    out = pl.pallas_call(
+        functools.partial(_scoring_kernel, n_steps=n_steps,
+                          n_obstacles=M, p_rows=P, check_flags=check_flags),
+        out_shape=jax.ShapeDtypeStruct((1, K_pad), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((6, _TILE_K), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, _TILE_K), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(M, 1), T, 6), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scalars, cl, ca, tl, gv, packed_table.astype(dtype), obs)
+    return out[0, :K]

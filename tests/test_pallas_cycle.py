@@ -1,0 +1,117 @@
+"""Fused Pallas scoring kernel vs. the XLA evaluation pipeline.
+
+The kernel must reproduce the XLA path's masked candidate costs (rollout +
+cost + corridor + obstacle collision, +inf where infeasible/colliding) —
+interpret mode on the CPU mesh; the compiled path runs on real TPU.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from commonroad_rp_tpu.ops import collision as collision_ops
+from commonroad_rp_tpu.ops import cost as cost_ops
+from commonroad_rp_tpu.ops import frenet as frenet_ops
+from commonroad_rp_tpu.ops import grid as grid_ops
+from commonroad_rp_tpu.ops import kinematics as kin_ops
+from commonroad_rp_tpu.ops import pallas_cycle
+
+
+def _setup(level=1, v0=15.0, low_vel=False, with_obstacle=True):
+    dtype = jnp.float32
+    n_steps, dt = 20, 0.1
+    xs = np.linspace(0.0, 200.0, 400)
+    ys = 6.0 * np.sin(xs / 70.0)
+    ref = frenet_ops.from_polyline(np.stack([xs, ys], axis=1), dtype=dtype)
+    P = ref.s.shape[0]
+    corridor = collision_ops.CorridorArrays(
+        d_lo=jnp.full(P, -4.0, dtype), d_hi=jnp.full(P, 4.0, dtype))
+
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+    vc = VehicleConfiguration()
+    veh = kin_ops.VehicleArrays(*[jnp.asarray(x, dtype) for x in [
+        vc.wheelbase, vc.wb_rear_axle, vc.a_max, vc.v_switch,
+        np.tan(vc.delta_max) / vc.wheelbase, vc.v_delta_max,
+        vc.length / 2, vc.width / 2]])
+
+    static_grid = grid_ops.make_static_grid(level, 0.4, n_steps * dt, dt,
+                                            -3.0, 3.0, 4)
+    x0_lon = jnp.asarray([40.0, v0, 0.2], dtype)
+    x0_lat = jnp.asarray([0.4, 0.05, 0.0], dtype)
+    cl, ca, tl = grid_ops.velocity_keeping_candidates(
+        x0_lon, x0_lat, jnp.asarray(max(0.0, v0 - 4.0), dtype),
+        jnp.asarray(v0 + 4.0, dtype), jnp.asarray(low_vel), static_grid)
+
+    T = n_steps + 1
+    if with_obstacle:
+        pose = np.zeros((1, T, 3), np.float32)
+        pose[0, :, 0] = 70.0
+        pose[0, :, 1] = 4.5
+        obstacles = collision_ops.ObstacleArrays(
+            pose=jnp.asarray(pose),
+            half_ext=jnp.asarray([[2.5, 1.0]], dtype),
+            valid=jnp.ones((1, T), dtype=bool))
+    else:
+        obstacles = collision_ops.ObstacleArrays(
+            pose=jnp.zeros((0, T, 3), dtype),
+            half_ext=jnp.zeros((0, 2), dtype),
+            valid=jnp.zeros((0, T), dtype=bool))
+
+    return dict(ref=ref, corridor=corridor, veh=veh, cl=cl, ca=ca, tl=tl,
+                obstacles=obstacles, dt=dt, n_steps=n_steps,
+                x0_theta=jnp.asarray(0.08, dtype), low_vel=low_vel,
+                desired_v=jnp.asarray(v0, dtype))
+
+
+def _xla_masked_costs(cfg):
+    rollout = kin_ops.rollout(cfg["cl"], cfg["ca"], cfg["tl"], cfg["ref"],
+                              cfg["veh"], cfg["x0_theta"], cfg["dt"],
+                              cfg["n_steps"], cfg["low_vel"])
+    costs = cost_ops.default_cost(rollout, w_a=jnp.float32(5.0),
+                                  desired_d=jnp.float32(0.0),
+                                  desired_speed=cfg["desired_v"])
+    collides = collision_ops.check_collisions(
+        rollout.x, rollout.y, rollout.theta_gl, cfg["obstacles"], None,
+        cfg["veh"].half_length, cfg["veh"].half_width, cfg["veh"].wb_rear_axle)
+    collides = collides | collision_ops.check_corridor(
+        rollout.s, rollout.d, rollout.theta_cl, cfg["ref"].s, cfg["corridor"],
+        cfg["veh"].half_length, cfg["veh"].half_width, cfg["veh"].wb_rear_axle)
+    ok = rollout.feasible & ~collides
+    return np.where(np.asarray(ok), np.asarray(costs), np.inf)
+
+
+def _pallas_masked_costs(cfg):
+    packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
+    out = pallas_cycle.score_candidates_pallas(
+        cfg["cl"], cfg["ca"], cfg["tl"],
+        jnp.ones(cfg["cl"].shape[0], dtype=bool), packed, cfg["obstacles"],
+        cfg["veh"], cfg["x0_theta"], cfg["dt"], cfg["low_vel"],
+        cfg["desired_v"], jnp.float32(0.0), jnp.float32(5.0),
+        n_steps=cfg["n_steps"], interpret=True)
+    return np.asarray(out)
+
+
+@pytest.mark.parametrize("v0,low_vel", [(15.0, False), (2.5, True)])
+def test_pallas_scoring_matches_xla(v0, low_vel):
+    cfg = _setup(v0=v0, low_vel=low_vel)
+    want = _xla_masked_costs(cfg)
+    got = _pallas_masked_costs(cfg)
+
+    finite_want = np.isfinite(want)
+    finite_got = np.isfinite(got)
+    np.testing.assert_array_equal(finite_got, finite_want)
+    assert finite_want.sum() > 0, "degenerate: no feasible candidates"
+    np.testing.assert_allclose(got[finite_want], want[finite_want],
+                               rtol=2e-4, atol=1e-2)
+    # selection agreement
+    assert int(np.argmin(got)) == int(np.argmin(want))
+
+
+def test_pallas_scoring_no_obstacles():
+    cfg = _setup(with_obstacle=False)
+    want = _xla_masked_costs(cfg)
+    got = _pallas_masked_costs(cfg)
+    np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
+    assert int(np.argmin(got)) == int(np.argmin(want))
