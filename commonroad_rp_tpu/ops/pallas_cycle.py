@@ -62,6 +62,25 @@ def pack_ref_tables(ref: frenet_ops.RefPathTables,
     return packed
 
 
+def _atan(x):
+    """float32 arctan (Cephes atanf construction) — Mosaic has no atan
+    lowering.  Max error ~1e-7, matching libm atanf accuracy."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    # range reduction: [0, 0.4142), [0.4142, 2.4142), [2.4142, inf)
+    hi = ax > 2.414213562373095
+    mid = ax > 0.4142135623730950
+    x_hi = -pl.reciprocal(jnp.where(hi, ax, 1.0), approx=False)
+    x_mid = (ax - 1.0) / (ax + 1.0)
+    xr = jnp.where(hi, x_hi, jnp.where(mid, x_mid, ax))
+    y0 = jnp.where(hi, jnp.float32(np.pi / 2),
+                   jnp.where(mid, jnp.float32(np.pi / 4), 0.0))
+    z = xr * xr
+    poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
+             + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr
+    return sign * (y0 + poly)
+
+
 def _lookup(s_row, table, table_next, P):
     """One-chunk table gather: rows at idx = count(s_vertex <= s) - 1 (with
     the reference's wrap-to-last for idx == -1) and at idx + 1."""
@@ -166,7 +185,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     dp = jnp.where(low_vel, d_dot, dp_high)
     dpp = jnp.where(low_vel, d_ddot, dpp_high)
 
-    theta_cl_move = jnp.arctan2(dp, jnp.ones_like(dp))
+    theta_cl_move = _atan(dp)
     theta_gl_move = theta_cl_move + interp_theta
     use_move = moving | low_vel
 
@@ -202,7 +221,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         yaw_r = jnp.round(yaw * 1e5) / 1e5
         viol = viol | (jnp.abs(yaw_r) > kappa_max * v)
     if ckd:
-        steer = jnp.arctan2(wheelbase * kappa_gl, jnp.ones_like(kappa_gl))
+        steer = _atan(wheelbase * kappa_gl)
         kd_max = v_delta_max / (wheelbase * jnp.cos(steer) ** 2)
         prev_k = jnp.concatenate([kappa_gl[:1], kappa_gl[:-1]], axis=0)
         kd = jnp.where(first_row, 0.0, (kappa_gl - prev_k) / dt)
@@ -228,11 +247,23 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     theta_last = take_last(theta_gl)
     cos_last = jnp.cos(theta_last)
     sin_last = jnp.sin(theta_last)
-    # positions: cumulative sum of dt * v_temp along T for extended steps
+    # positions: running sum of dt * v_temp along T for extended steps
+    # (Mosaic has no cumsum lowering; T is small and static)
     incr_x = jnp.where(ext, dt * v_temp * cos_last, 0.0)
     incr_y = jnp.where(ext, dt * v_temp * sin_last, 0.0)
-    ego_x = jnp.where(ext, take_last(ego_x) + jnp.cumsum(incr_x, axis=0), ego_x)
-    ego_y = jnp.where(ext, take_last(ego_y) + jnp.cumsum(incr_y, axis=0), ego_y)
+    acc_x = jnp.zeros((TILE,), jnp.float32)
+    acc_y = jnp.zeros((TILE,), jnp.float32)
+    cum_x_rows = []
+    cum_y_rows = []
+    for c in range(T):
+        acc_x = acc_x + incr_x[c]
+        acc_y = acc_y + incr_y[c]
+        cum_x_rows.append(acc_x)
+        cum_y_rows.append(acc_y)
+    cum_x = jnp.stack(cum_x_rows, axis=0)
+    cum_y = jnp.stack(cum_y_rows, axis=0)
+    ego_x = jnp.where(ext, take_last(ego_x) + cum_x, ego_x)
+    ego_y = jnp.where(ext, take_last(ego_y) + cum_y, ego_y)
     v = jnp.where(ext, v_temp, v)
     a = jnp.where(ext, a_last, a)
     theta_gl = jnp.where(ext, theta_last, theta_gl)
