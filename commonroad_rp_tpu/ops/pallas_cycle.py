@@ -81,24 +81,30 @@ def _atan(x):
     return sign * (y0 + poly)
 
 
-def _lookup(s_row, table, table_next, P):
-    """One-chunk table gather: rows at idx = count(s_vertex <= s) - 1 (with
-    the reference's wrap-to-last for idx == -1) and at idx + 1."""
-    s_col = table[:, 0]
-    le = (s_col[None, :] <= s_row[:, None]).astype(jnp.float32)   # [TILE, P]
-    idx = jnp.sum(le, axis=1).astype(jnp.int32) - 1
+def _lookup(s_chunk, s_col, table_T, table_next_T, P):
+    """One-chunk table gather, strictly 2-D (Mosaic layout discipline).
+
+    s_chunk: [1, TILE] query arclengths; s_col: [P, 1] table arclengths;
+    table_T / table_next_T: [12, P].  Returns (vals_lo, vals_hi) each
+    [12, TILE]: table rows at idx = count(s_vertex <= s) - 1 (with the
+    reference's wrap-to-last for idx == -1) and at idx + 1, fetched as
+    one-hot MXU matmuls.
+    """
+    le = (s_col <= s_chunk).astype(jnp.float32)                  # [P, TILE]
+    idx = jnp.sum(le, axis=0, keepdims=True).astype(jnp.int32) - 1   # [1, TILE]
     idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
-    iota = jax.lax.broadcasted_iota(jnp.int32, (s_row.shape[0], P), 1)
-    onehot = (iota == idx_mod[:, None]).astype(jnp.float32)
-    dot = lambda tab: jax.lax.dot_general(
-        onehot, tab, (((1,), (0,)), ((), ())),
+    iota = jax.lax.broadcasted_iota(jnp.int32, le.shape, 0)
+    onehot = (iota == idx_mod).astype(jnp.float32)               # [P, TILE]
+    dot = lambda tab_T: jax.lax.dot_general(
+        tab_T, onehot, (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
-    return dot(table), dot(table_next)
+    return dot(table_T), dot(table_next_T)
 
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
-                    goal_valid_ref, table_ref, obs_ref, cost_ref,
+                    goal_valid_ref, table_ref, table_t_ref, table_next_t_ref,
+                    obs_ref, cost_ref,
                     *, n_steps: int, n_obstacles: int, p_rows: int,
                     check_flags: tuple):
     T = n_steps + 1
@@ -116,7 +122,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     c_lon = coeffs_lon_ref[:]                               # [6, TILE]
     c_lat = coeffs_lat_ref[:]
     traj_len = traj_len_ref[0, :]                           # [TILE] f32
-    step = jax.lax.broadcasted_iota(jnp.float32, (T, TILE), 0)
+    step = jax.lax.broadcasted_iota(jnp.int32, (T, TILE), 0).astype(jnp.float32)
     active = step < traj_len[None, :]
     t = step * dt
 
@@ -147,34 +153,41 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     s_dot = jnp.where(jnp.abs(s_dot) < _EPS, 0.0, s_dot)
     d_dot = jnp.where(jnp.abs(d_dot) < _EPS, 0.0, d_dot)
 
-    prefiltered = (jnp.any(jnp.abs(s_ddot) > a_max, axis=0) |
-                   jnp.any(s_dot < -_EPS, axis=0))
+    prefiltered = (jnp.any(jnp.abs(s_ddot) > a_max, axis=0, keepdims=True) |
+                   jnp.any(s_dot < -_EPS, axis=0, keepdims=True))  # [1, TILE]
 
-    # ---- table gathers per time chunk (MXU one-hot) ----------------------
-    table = table_ref[:]
-    table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
-    lo_rows = []
-    hi_rows = []
+    # ---- table gathers per time chunk (MXU one-hot), strictly 2-D --------
+    s_col = table_ref[:, 0:1]                               # [P, 1]
+    table_T = table_t_ref[:]                                # [12, P]
+    table_next_T = table_next_t_ref[:]
+    lo_cols = [[] for _ in range(_NUM_COLS)]
+    hi_cols = [[] for _ in range(4)]
     for c in range(T):                                      # static, small T
-        vals_lo, vals_hi = _lookup(s[c], table, table_next, p_rows)
-        lo_rows.append(vals_lo)
-        hi_rows.append(vals_hi)
-    lo = jnp.stack(lo_rows, axis=0)                         # [T, TILE, 12]
-    hi = jnp.stack(hi_rows, axis=0)
+        vals_lo, vals_hi = _lookup(s[c:c + 1, :], s_col, table_T,
+                                   table_next_T, p_rows)    # [12, TILE]
+        for col in range(_NUM_COLS):
+            lo_cols[col].append(vals_lo[col:col + 1, :])
+        for col in range(4):
+            hi_cols[col].append(vals_hi[col:col + 1, :])
+    cat = lambda rows: jnp.concatenate(rows, axis=0)        # [T, TILE]
+    lo_s, lo_theta, lo_curv, lo_curv_d = (cat(lo_cols[i]) for i in range(4))
+    hi_s, hi_theta, hi_curv, hi_curv_d = (cat(hi_cols[i]) for i in range(4))
+    lo_px, lo_py, lo_tx, lo_ty, lo_nx, lo_ny = (cat(lo_cols[i])
+                                                for i in range(6, 12))
 
-    lam = (s - lo[..., 0]) / (hi[..., 0] - lo[..., 0])
+    lam = (s - lo_s) / (hi_s - lo_s)
     two_pi = np.float32(2.0 * np.pi)
-    raw = (hi[..., 1] - lo[..., 1]) * lam + lo[..., 1]
+    raw = (hi_theta - lo_theta) * lam + lo_theta
     interp_theta = raw - two_pi * jnp.trunc(raw / two_pi)
-    k_r = (hi[..., 2] - lo[..., 2]) * lam + lo[..., 2]
-    k_r_d = (hi[..., 3] - lo[..., 3]) * lam + lo[..., 3]
+    k_r = (hi_curv - lo_curv) * lam + lo_curv
+    k_r_d = (hi_curv_d - lo_curv_d) * lam + lo_curv_d
 
     # Frenet -> Cartesian from the same gathered rows (divergence from the
     # clipped-segment convention only affects out-of-domain candidates,
     # which are masked infeasible below)
-    ds = s - lo[..., 0]
-    ego_x = lo[..., 6] + ds * lo[..., 8] + d * lo[..., 10]
-    ego_y = lo[..., 7] + ds * lo[..., 9] + d * lo[..., 11]
+    ds = s - lo_s
+    ego_x = lo_px + ds * lo_tx + d * lo_nx
+    ego_y = lo_py + ds * lo_ty + d * lo_ny
 
     # ---- Werling transform ------------------------------------------------
     moving = s_dot > 0.001
@@ -190,11 +203,11 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     use_move = moving | low_vel
 
     rows = []
-    hold = jnp.full((TILE,), x0_theta, jnp.float32)
+    hold = jnp.full((1, TILE), x0_theta, jnp.float32)
     for c in range(T):
-        hold = jnp.where(use_move[c], theta_gl_move[c], hold)
+        hold = jnp.where(use_move[c:c + 1, :], theta_gl_move[c:c + 1, :], hold)
         rows.append(hold)
-    theta_gl = jnp.stack(rows, axis=0)
+    theta_gl = jnp.concatenate(rows, axis=0)
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
     one_krd = 1.0 - k_r * d
@@ -230,15 +243,16 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         v_safe = jnp.where(v > v_switch, v, 1.0)
         a_hi = jnp.where(v > v_switch, a_max * v_switch / v_safe, a_max)
         viol = viol | (a < -a_max) | (a > a_hi)
-    kin_feasible = ~prefiltered & ~jnp.any(viol & active, axis=0)
-    domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0)
-    feasible = kin_feasible & domain_ok & (goal_valid_ref[0, :] > 0.5)
+    kin_feasible = ~prefiltered & ~jnp.any(viol & active, axis=0, keepdims=True)
+    domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0,
+                        keepdims=True)
+    feasible = kin_feasible & domain_ok & (goal_valid_ref[:] > 0.5)  # [1, TILE]
 
     # ---- enlarge (constant-acceleration extension) ------------------------
     ext = ~active
     last = traj_len - 1.0
     last_sel = (step == last[None, :]).astype(jnp.float32)
-    take_last = lambda arr: jnp.sum(arr * last_sel, axis=0)[None, :]
+    take_last = lambda arr: jnp.sum(arr * last_sel, axis=0, keepdims=True)
     t_rel = (step - last[None, :]) * dt
 
     a_last = take_last(a)
@@ -251,17 +265,17 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     # (Mosaic has no cumsum lowering; T is small and static)
     incr_x = jnp.where(ext, dt * v_temp * cos_last, 0.0)
     incr_y = jnp.where(ext, dt * v_temp * sin_last, 0.0)
-    acc_x = jnp.zeros((TILE,), jnp.float32)
-    acc_y = jnp.zeros((TILE,), jnp.float32)
+    acc_x = jnp.zeros((1, TILE), jnp.float32)
+    acc_y = jnp.zeros((1, TILE), jnp.float32)
     cum_x_rows = []
     cum_y_rows = []
     for c in range(T):
-        acc_x = acc_x + incr_x[c]
-        acc_y = acc_y + incr_y[c]
+        acc_x = acc_x + incr_x[c:c + 1, :]
+        acc_y = acc_y + incr_y[c:c + 1, :]
         cum_x_rows.append(acc_x)
         cum_y_rows.append(acc_y)
-    cum_x = jnp.stack(cum_x_rows, axis=0)
-    cum_y = jnp.stack(cum_y_rows, axis=0)
+    cum_x = jnp.concatenate(cum_x_rows, axis=0)
+    cum_y = jnp.concatenate(cum_y_rows, axis=0)
     ego_x = jnp.where(ext, take_last(ego_x) + cum_x, ego_x)
     ego_y = jnp.where(ext, take_last(ego_y) + cum_y, ego_y)
     v = jnp.where(ext, v_temp, v)
@@ -276,14 +290,16 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     w_a = scalars_ref[0, _S_W_A]
     desired_v = scalars_ref[0, _S_DESIRED_V]
     desired_d = scalars_ref[0, _S_DESIRED_D]
-    costs = jnp.sum((w_a * a) ** 2, axis=0)
-    costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0)
-                     + 50.0 * (v[-1] - desired_v) ** 2
-                     + 100.0 * (v[T // 2] - desired_v) ** 2)
-    costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0)
-                     + (20.0 * (desired_d - d[-1])) ** 2)
-    costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0)
-                     + (5.0 * jnp.abs(theta_cl[-1])) ** 2)
+    v_end = v[T - 1:T, :]
+    v_mid = v[T // 2:T // 2 + 1, :]
+    costs = jnp.sum((w_a * a) ** 2, axis=0, keepdims=True)
+    costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0, keepdims=True)
+                     + 50.0 * (v_end - desired_v) ** 2
+                     + 100.0 * (v_mid - desired_v) ** 2)
+    costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0, keepdims=True)
+                     + (20.0 * (desired_d - d[T - 1:T, :])) ** 2)
+    costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0, keepdims=True)
+                     + (5.0 * jnp.abs(theta_cl[T - 1:T, :])) ** 2)
 
     # ---- corridor road-boundary check (post-enlarge states, 3 probes) -----
     half_len = scalars_ref[0, _S_HALF_LEN]
@@ -295,17 +311,18 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                half_len * jnp.abs(jnp.sin(theta_cl)))
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
-    collides = jnp.zeros((TILE,), dtype=jnp.bool_)
+    collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
     for offset in (-1.0, 0.0, 1.0):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
-            vals_lo, _ = _lookup(s_probe[c], table, table_next, p_rows)
-            # corridor gathers use the clipped-segment convention: clip the
-            # wrap by falling back to the last row's bands (identical values)
-            row_viol = ((d_center[c] + lat_ext[c] > vals_lo[:, 5]) |
-                        (d_center[c] - lat_ext[c] < vals_lo[:, 4]))
+            vals_lo, _ = _lookup(s_probe[c:c + 1, :], s_col, table_T,
+                                 table_next_T, p_rows)
+            row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
+                         > vals_lo[5:6, :]) |
+                        (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
+                         < vals_lo[4:5, :]))
             collides = collides | row_viol
     # ---- obstacle OBB SAT (ego center poses vs obstacle table) ------------
     e_theta = theta_gl
@@ -314,12 +331,12 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     ecx = ego_x + wb_rear * e_cos
     ecy = ego_y + wb_rear * e_sin
     for m in range(n_obstacles):
-        ox = obs_ref[m, :, 0][:, None]
-        oy = obs_ref[m, :, 1][:, None]
-        otheta = obs_ref[m, :, 2][:, None]
-        ohl = obs_ref[m, :, 3][:, None]
-        ohw = obs_ref[m, :, 4][:, None]
-        valid = obs_ref[m, :, 5][:, None] > 0.5
+        ox = obs_ref[m, :, 0:1]
+        oy = obs_ref[m, :, 1:2]
+        otheta = obs_ref[m, :, 2:3]
+        ohl = obs_ref[m, :, 3:4]
+        ohw = obs_ref[m, :, 4:5]
+        valid = obs_ref[m, :, 5:6] > 0.5
 
         o_cos = jnp.cos(otheta)
         o_sin = jnp.sin(otheta)
@@ -335,15 +352,25 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                      ohl + half_len * rel_cos + half_wid * rel_sin)
         sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
                      ohw + half_len * rel_sin + half_wid * rel_cos)
-        collides = collides | jnp.any(valid & ~sep, axis=0)
+        collides = collides | jnp.any(valid & ~sep, axis=0, keepdims=True)
 
     masked = jnp.where(feasible & ~collides, costs, jnp.float32(np.inf))
-    cost_ref[0, :] = masked
+    cost_ref[:] = masked
+
+
+def score_candidates_pallas(*args, **kwargs):
+    """Masked candidate costs [K] from the fused VMEM scoring kernel.
+
+    Wrapper that disables x64 for the trace — Mosaic rejects 64-bit layouts
+    and the library enables x64 globally for the conformance path.
+    """
+    with jax.enable_x64(False):
+        return _score_candidates_pallas(*args, **kwargs)
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
                                              "interpret"))
-def score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
+def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
                             packed_table: jnp.ndarray,
                             obstacles: ObstacleArrays,
@@ -393,6 +420,10 @@ def score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     for slot, value in values:
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 
+    table = packed_table.astype(dtype)
+    table_T = table.T
+    table_next_T = jnp.concatenate([table[1:], table[:1]], axis=0).T
+
     grid = (K_pad // _TILE_K,)
     out = pl.pallas_call(
         functools.partial(_scoring_kernel, n_steps=n_steps,
@@ -412,11 +443,15 @@ def score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NUM_COLS, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_NUM_COLS, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((max(M, 1), T, 6), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, packed_table.astype(dtype), obs)
+    )(scalars, cl, ca, tl, gv, table, table_T, table_next_T, obs)
     return out[0, :K]
