@@ -137,6 +137,56 @@ def main():
     fleet_time = (time.time() - t0) / fleet_repeats
     fleet_evals_per_sec = F * K * n_cycles / fleet_time
 
+    # ---- fused Pallas scorer (VMEM-resident full-cycle evaluation) ---------
+    # guarded: falls back gracefully if the backend rejects the kernel
+    pallas_evals_per_sec = None
+    try:
+        from commonroad_rp_tpu.ops import collision as collision_ops
+        from commonroad_rp_tpu.ops import frenet as frenet_ops
+        from commonroad_rp_tpu.ops import pallas_cycle
+
+        take1 = lambda tree: type(tree)(*[leaf[0] for leaf in tree])
+        ref1 = take1(scene.ref)
+        corridor1 = collision_ops.CorridorArrays(
+            d_lo=scene.corridor_lo[0], d_hi=scene.corridor_hi[0])
+        packed = pallas_cycle.pack_ref_tables(ref1, corridor1)
+        obstacles1 = collision_ops.ObstacleArrays(
+            pose=scene.obs_pose[0, :, :n_steps + 1],
+            half_ext=scene.obs_half[0],
+            valid=scene.obs_valid[0, :, :n_steps + 1])
+        x0_lon1 = carry.x0_lon[0]
+        x0_lat1 = carry.x0_lat[0]
+        cl1, ca1, tl1 = grid_ops.velocity_keeping_candidates(
+            x0_lon1, x0_lat1, jnp.asarray(18.0, dtype), jnp.asarray(25.0, dtype),
+            jnp.asarray(False), static_grid)
+        goal_valid1 = jnp.ones(K, dtype=bool)
+
+        n_scan = 20
+
+        def _make_pallas_scan():
+            def body(v, _):
+                costs = pallas_cycle._score_candidates_pallas(
+                    cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
+                    carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
+                    dtype(0.0), dtype(5.0), n_steps=n_steps)
+                return v + dtype(0.001), jnp.min(costs)
+            return jax.jit(lambda v0: jax.lax.scan(body, v0, None,
+                                                   length=n_scan))
+
+        pallas_scan = _make_pallas_scan()
+        out = pallas_scan(dtype(20.0))
+        jax.block_until_ready(out)
+        reps = max(3, args.repeats // 20)
+        t0 = time.time()
+        for _ in range(reps):
+            out = pallas_scan(dtype(20.0))
+        jax.block_until_ready(out)
+        pallas_cycle_time = (time.time() - t0) / reps / n_scan
+        pallas_evals_per_sec = K / pallas_cycle_time
+    except Exception as exc:                                 # noqa: BLE001
+        print(f"# pallas scorer unavailable: {type(exc).__name__}: "
+              f"{str(exc)[:120]}", file=sys.stderr)
+
     # ---- baseline: pure-numpy oracle (reference computational shape) -------
     cfg = ReactivePlannerConfiguration()
     cfg.planning.time_steps_computation = n_steps
@@ -171,7 +221,8 @@ def main():
     baseline_time_per_cand = (time.time() - t0) / n_base
     baseline_evals_per_sec = 1.0 / baseline_time_per_cand
 
-    best = max(device_evals_per_sec, fleet_evals_per_sec)
+    best = max(device_evals_per_sec, fleet_evals_per_sec,
+               pallas_evals_per_sec or 0.0)
     result = {
         "metric": "candidate_evals_per_sec",
         "value": round(best, 1),
@@ -180,6 +231,8 @@ def main():
         "candidates_per_cycle": K,
         "single_call_evals_per_sec": round(device_evals_per_sec, 1),
         "fleet_evals_per_sec": round(fleet_evals_per_sec, 1),
+        "pallas_scorer_evals_per_sec": round(pallas_evals_per_sec, 1)
+        if pallas_evals_per_sec else None,
         "fleet_config": f"{F} problems x {n_cycles} cycles per call",
         "cycle_latency_ms": round(device_time * 1e3, 3),
         "fleet_cycle_latency_ms": round(fleet_time / n_cycles * 1e3, 3),
