@@ -1,0 +1,118 @@
+"""Replanning loop on the fused Pallas scorer (single problem per chip).
+
+The production single-vehicle deployment shape: ``lax.scan`` over planning
+cycles where each cycle generates the terminal-manifold grid on device,
+scores EVERY candidate with the VMEM-resident Pallas kernel
+(ops.pallas_cycle — only the [K] masked-cost row touches HBM), selects the
+winner by argmin, and advances the carry by re-rolling just the winning
+candidate through the XLA rollout (a [1, T] evaluation).
+
+Complements parallel.fleet (XLA path, vmap/shard_map over many problems);
+use this when one chip serves one vehicle at minimum latency.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from commonroad_rp_tpu.ops import grid as grid_ops
+from commonroad_rp_tpu.ops import kinematics as kin_ops
+from commonroad_rp_tpu.ops import pallas_cycle
+from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
+from commonroad_rp_tpu.ops.frenet import RefPathTables
+
+
+class PallasCycleCarry(NamedTuple):
+    x0_lon: jnp.ndarray          # [3]
+    x0_lat: jnp.ndarray          # [3]
+    orientation: jnp.ndarray     # scalar
+    velocity: jnp.ndarray        # scalar
+    time_step: jnp.ndarray       # scalar int32
+    alive: jnp.ndarray           # scalar bool
+
+
+def make_pallas_replanning_scan(ref: RefPathTables,
+                                corridor: CorridorArrays,
+                                obstacles_full: ObstacleArrays,
+                                veh: kin_ops.VehicleArrays,
+                                static_grid: grid_ops.StaticGrid,
+                                dt: float, n_steps: int, replan_offset: int,
+                                low_vel_threshold: float, horizon: float,
+                                desired_speed: float, n_cycles: int,
+                                interpret: bool = False):
+    """Build the jitted scan running ``n_cycles`` pallas-scored cycles."""
+    dtype = jnp.float32
+    T = n_steps + 1
+    packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    M = obstacles_full.pose.shape[0]
+    if M:
+        obs_all = jnp.concatenate(
+            [obstacles_full.pose.astype(dtype),
+             jnp.broadcast_to(obstacles_full.half_ext[:, None, :],
+                              (M, obstacles_full.pose.shape[1], 2)).astype(dtype),
+             obstacles_full.valid.astype(dtype)[..., None]], axis=-1)
+    else:
+        obs_all = jnp.zeros((0, T, 6), dtype)
+
+    def cycle(carry: PallasCycleCarry, _):
+        v_min = jnp.maximum(0.0, carry.velocity - 0.125 * horizon * veh.a_max)
+        v_max = jnp.maximum(v_min + 5.0, carry.velocity + 2.0)
+        low_vel = carry.velocity < low_vel_threshold
+
+        cl, ca, tl = grid_ops.velocity_keeping_candidates(
+            carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, static_grid)
+        K = cl.shape[0]
+
+        if M:
+            window = jax.lax.dynamic_slice_in_dim(obs_all, carry.time_step, T,
+                                                  axis=1)
+            obstacles = ObstacleArrays(pose=window[..., :3],
+                                       half_ext=obstacles_full.half_ext.astype(dtype),
+                                       valid=window[..., 5] > 0.5)
+        else:
+            obstacles = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
+                                       half_ext=jnp.zeros((0, 2), dtype),
+                                       valid=jnp.zeros((0, T), dtype=bool))
+
+        costs = pallas_cycle._score_candidates_pallas(
+            cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
+            carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
+            dtype(0.0), dtype(5.0), n_steps=n_steps, interpret=interpret)
+        best = jnp.argmin(costs)
+        found = jnp.isfinite(costs[best])
+
+        # re-roll ONLY the winner for the carry update (K = 1)
+        rollout = kin_ops.rollout(cl[best][None, :], ca[best][None, :],
+                                  tl[best][None], ref, veh, carry.orientation,
+                                  dt, n_steps, low_vel)
+        r = replan_offset
+        new_carry = PallasCycleCarry(
+            x0_lon=jnp.stack([rollout.s[0, r], rollout.s_dot[0, r],
+                              rollout.s_ddot[0, r]]),
+            x0_lat=jnp.stack([rollout.d[0, r], rollout.d_dot[0, r],
+                              rollout.d_ddot[0, r]]),
+            orientation=rollout.theta_gl[0, r],
+            velocity=rollout.v[0, r],
+            time_step=carry.time_step + r,
+            alive=carry.alive & found)
+        keep = lambda new, old: jnp.where(new_carry.alive, new, old)
+        new_carry = PallasCycleCarry(
+            x0_lon=keep(new_carry.x0_lon, carry.x0_lon),
+            x0_lat=keep(new_carry.x0_lat, carry.x0_lat),
+            orientation=keep(new_carry.orientation, carry.orientation),
+            velocity=keep(new_carry.velocity, carry.velocity),
+            time_step=jnp.where(new_carry.alive, new_carry.time_step,
+                                carry.time_step),
+            alive=new_carry.alive)
+        metrics = (found, costs[best], rollout.x[0, r], rollout.y[0, r])
+        return new_carry, metrics
+
+    @jax.jit
+    def run(carry: PallasCycleCarry):
+        with jax.enable_x64(False):
+            return jax.lax.scan(cycle, carry, None, length=n_cycles)
+
+    return run

@@ -1,0 +1,74 @@
+"""Replanning scan on the Pallas scorer (interpret mode on CPU) vs the XLA
+fleet path: the same problem must progress equivalently."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from commonroad_rp_tpu.ops import grid as grid_ops
+from commonroad_rp_tpu.ops import kinematics as kin_ops
+from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
+from commonroad_rp_tpu.parallel import fleet as fleet_ops
+from commonroad_rp_tpu.parallel import pallas_fleet
+from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+from commonroad_rp_tpu.utils.config import VehicleConfiguration
+from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+from commonroad_rp_tpu.utils.route import RoutePlanner
+
+
+def test_pallas_replanning_scan_matches_fleet(repo_root):
+    dtype = jnp.float32
+    n_steps, dt = 20, 0.1
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    problem = fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=60,
+        dtype=dtype)
+
+    vc = VehicleConfiguration()
+    veh = kin_ops.VehicleArrays(*[np.float32(x) for x in [
+        vc.wheelbase, vc.wb_rear_axle, vc.a_max, vc.v_switch,
+        np.tan(vc.delta_max) / vc.wheelbase, vc.v_delta_max,
+        vc.length / 2, vc.width / 2]])
+    static_grid = grid_ops.make_static_grid(2, 0.4, n_steps * dt, dt,
+                                            -3.0, 3.0, 4)
+    n_cycles = 6
+
+    # pallas-scored scan (interpret mode)
+    run_p = pallas_fleet.make_pallas_replanning_scan(
+        problem["ref_tables"], problem["corridor"], problem["obstacles"],
+        veh, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt,
+        desired_speed=float(problem["desired_speed"]), n_cycles=n_cycles,
+        interpret=True)
+    carry_p = pallas_fleet.PallasCycleCarry(
+        x0_lon=jnp.asarray(problem["x0_lon"], dtype),
+        x0_lat=jnp.asarray(problem["x0_lat"], dtype),
+        orientation=jnp.asarray(problem["orientation"], dtype),
+        velocity=jnp.asarray(problem["velocity"], dtype),
+        time_step=jnp.asarray(0, jnp.int32),
+        alive=jnp.asarray(True))
+    final_p, metrics_p = run_p(carry_p)
+
+    # XLA fleet path, same problem
+    scene, carry_x = fleet_ops.build_fleet_scene([problem], n_steps, dtype=dtype)
+    run_x = fleet_ops.make_fleet_rollout(
+        make_fleet_mesh(1), veh, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles)
+    final_x, metrics_x = run_x(carry_x, scene)
+
+    assert bool(np.all(np.asarray(metrics_p[0]))), "pallas scan should plan"
+    assert bool(np.all(np.asarray(metrics_x.found)))
+    # same winners -> same carried longitudinal state (f32 tolerance)
+    np.testing.assert_allclose(np.asarray(final_p.x0_lon),
+                               np.asarray(final_x.x0_lon[0]), rtol=2e-4,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(final_p.velocity),
+                               np.asarray(final_x.velocity[0]), atol=2e-3)
+    # per-cycle best costs agree
+    np.testing.assert_allclose(np.asarray(metrics_p[1]),
+                               np.asarray(metrics_x.best_cost[:, 0]),
+                               rtol=2e-3)
