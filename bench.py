@@ -170,8 +170,14 @@ def main():
                     carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
                     dtype(0.0), dtype(5.0), n_steps=n_steps)
                 return v + dtype(0.001), jnp.min(costs)
-            return jax.jit(lambda v0: jax.lax.scan(body, v0, None,
-                                                   length=n_scan))
+            raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None,
+                                                  length=n_scan))
+
+            def guarded(v0):
+                # Mosaic rejects 64-bit layouts; trace with x64 off
+                with jax.enable_x64(False):
+                    return raw(v0)
+            return guarded
 
         pallas_scan = _make_pallas_scan()
         out = pallas_scan(dtype(20.0))
