@@ -110,9 +110,13 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         metrics = (found, costs[best], rollout.x[0, r], rollout.y[0, r])
         return new_carry, metrics
 
-    @jax.jit
+    raw = jax.jit(
+        lambda carry: jax.lax.scan(cycle, carry, None, length=n_cycles))
+
     def run(carry: PallasCycleCarry):
+        # Mosaic rejects 64-bit layouts; the x64-off context must be active
+        # BEFORE entering the jit so the trace canonicalizes to 32-bit
         with jax.enable_x64(False):
-            return jax.lax.scan(cycle, carry, None, length=n_cycles)
+            return raw(carry)
 
     return run
