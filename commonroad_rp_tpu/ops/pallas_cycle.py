@@ -45,7 +45,11 @@ _NUM_SCALARS = 16
 
 def pack_ref_tables(ref: frenet_ops.RefPathTables,
                     corridor: CorridorArrays) -> jnp.ndarray:
-    """[P_pad, 12] packed interpolation + corridor + geometry table."""
+    """[P_pad, 12] packed interpolation + corridor + geometry table.
+
+    NOTE: padded rows carry sentinel arclengths; use ``true_path_length`` for
+    the domain bound, NOT packed[:, 0].max().
+    """
     packed = jnp.concatenate([
         jnp.stack([ref.s, ref.theta, ref.curv, ref.curv_d,
                    corridor.d_lo, corridor.d_hi], axis=1),
@@ -60,6 +64,12 @@ def pack_ref_tables(ref: frenet_ops.RefPathTables,
             1e7 * jnp.arange(1, P_pad - P + 1, dtype=jnp.float32))
         packed = jnp.concatenate([packed, pad_rows], axis=0)
     return packed
+
+
+def true_path_length(ref: frenet_ops.RefPathTables) -> jnp.ndarray:
+    """The real final arclength (the packed table's padded rows hold huge
+    sentinel values that must not become the domain bound)."""
+    return ref.s[-1].astype(jnp.float32)
 
 
 def _atan(x):
@@ -79,6 +89,20 @@ def _atan(x):
     poly = (((8.05374449538e-2 * z - 1.38776856032e-1) * z
              + 1.99777106478e-1) * z - 3.33329491539e-1) * z * xr + xr
     return sign * (y0 + poly)
+
+
+def _lookup_lo(s_chunk, s_col, table_T, P):
+    """lo-row-only variant of _lookup (corridor probes need only d_lo/d_hi;
+    skipping the next-row matmul halves the probe gather work)."""
+    le = (s_col <= s_chunk).astype(jnp.float32)
+    idx = jnp.sum(le, axis=0, keepdims=True).astype(jnp.int32) - 1
+    idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
+    iota = jax.lax.broadcasted_iota(jnp.int32, le.shape, 0)
+    onehot = (iota == idx_mod).astype(jnp.float32)
+    return jax.lax.dot_general(
+        table_T, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _lookup(s_chunk, s_col, table_T, table_next_T, P):
@@ -317,8 +341,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
-            vals_lo, _ = _lookup(s_probe[c:c + 1, :], s_col, table_T,
-                                 table_next_T, p_rows)
+            vals_lo = _lookup_lo(s_probe[c:c + 1, :], s_col, table_T, p_rows)
             row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
                          > vals_lo[5:6, :]) |
                         (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
@@ -377,6 +400,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             veh: VehicleArrays,
                             x0_orientation, dt: float,
                             low_vel, desired_speed, desired_d, w_a,
+                            ref_s_last=None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False) -> jnp.ndarray:
@@ -391,6 +415,11 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     T = n_steps + 1
     P = packed_table.shape[0]
     M = obstacles.pose.shape[0]
+    if ref_s_last is None:
+        # fall back: largest non-sentinel arclength (sentinels are >= 1e7
+        # beyond the true end, see pack_ref_tables)
+        s_col = packed_table[:, 0]
+        ref_s_last = jnp.max(jnp.where(s_col < s_col[0] + 9e6, s_col, -jnp.inf))
 
     K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
     pad = K_pad - K
@@ -416,7 +445,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         (_S_X0_THETA, x0_orientation), (_S_DT, dt),
         (_S_LOW_VEL, jnp.asarray(low_vel, dtype)),
         (_S_DESIRED_V, desired_speed), (_S_DESIRED_D, desired_d),
-        (_S_W_A, w_a), (_S_REF_S_LAST, packed_table[:, 0].max())]
+        (_S_W_A, w_a), (_S_REF_S_LAST, ref_s_last)]
     for slot, value in values:
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 

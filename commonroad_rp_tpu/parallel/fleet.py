@@ -95,10 +95,14 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                                   desired_d=jnp.asarray(0.0, dtype),
                                   desired_speed=desired_speed)
 
-    # obstacle window starting at the problem's current scenario step
+    # obstacle window starting at the problem's current scenario step;
+    # dynamic_slice clamps the start index, so windows past the prediction
+    # span would repeat stale poses — invalidate those steps explicitly
     T = n_steps + 1
     window_pose = jax.lax.dynamic_slice_in_dim(obs_pose, time_step, T, axis=1)
     window_valid = jax.lax.dynamic_slice_in_dim(obs_valid, time_step, T, axis=1)
+    abs_step = time_step + jnp.arange(T, dtype=jnp.int32)
+    window_valid = window_valid & (abs_step < obs_pose.shape[1])[None, :]
     obstacles = collision_ops.ObstacleArrays(pose=window_pose, half_ext=obs_half,
                                              valid=window_valid)
     collides = collision_ops.check_collisions(

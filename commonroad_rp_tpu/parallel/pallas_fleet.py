@@ -47,15 +47,11 @@ def make_pallas_replanning_scan(ref: RefPathTables,
     dtype = jnp.float32
     T = n_steps + 1
     packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    ref_s_last = pallas_cycle.true_path_length(ref)
     M = obstacles_full.pose.shape[0]
-    if M:
-        obs_all = jnp.concatenate(
-            [obstacles_full.pose.astype(dtype),
-             jnp.broadcast_to(obstacles_full.half_ext[:, None, :],
-                              (M, obstacles_full.pose.shape[1], 2)).astype(dtype),
-             obstacles_full.valid.astype(dtype)[..., None]], axis=-1)
-    else:
-        obs_all = jnp.zeros((0, T, 6), dtype)
+    pose_all = obstacles_full.pose.astype(dtype)
+    valid_all = obstacles_full.valid
+    t_full = pose_all.shape[1] if M else T
 
     def cycle(carry: PallasCycleCarry, _):
         v_min = jnp.maximum(0.0, carry.velocity - 0.125 * horizon * veh.a_max)
@@ -67,11 +63,18 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         K = cl.shape[0]
 
         if M:
-            window = jax.lax.dynamic_slice_in_dim(obs_all, carry.time_step, T,
-                                                  axis=1)
-            obstacles = ObstacleArrays(pose=window[..., :3],
-                                       half_ext=obstacles_full.half_ext.astype(dtype),
-                                       valid=window[..., 5] > 0.5)
+            window_pose = jax.lax.dynamic_slice_in_dim(
+                pose_all, carry.time_step, T, axis=1)
+            window_valid = jax.lax.dynamic_slice_in_dim(
+                valid_all, carry.time_step, T, axis=1)
+            # dynamic_slice clamps the start index: beyond the prediction
+            # span the window would repeat stale poses — invalidate them
+            abs_step = carry.time_step + jnp.arange(T, dtype=jnp.int32)
+            window_valid = window_valid & (abs_step < t_full)[None, :]
+            obstacles = ObstacleArrays(
+                pose=window_pose,
+                half_ext=obstacles_full.half_ext.astype(dtype),
+                valid=window_valid)
         else:
             obstacles = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
                                        half_ext=jnp.zeros((0, 2), dtype),
@@ -80,7 +83,8 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         costs = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
             carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
-            dtype(0.0), dtype(5.0), n_steps=n_steps, interpret=interpret)
+            dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps,
+            interpret=interpret)
         best = jnp.argmin(costs)
         found = jnp.isfinite(costs[best])
 
