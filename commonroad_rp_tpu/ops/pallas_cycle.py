@@ -40,7 +40,7 @@ _NUM_COLS = 12
 _NUM_SCALARS = 16
 (_S_WHEELBASE, _S_WB_REAR, _S_A_MAX, _S_V_SWITCH, _S_KAPPA_MAX,
  _S_V_DELTA_MAX, _S_HALF_LEN, _S_HALF_WID, _S_X0_THETA, _S_DT, _S_LOW_VEL,
- _S_DESIRED_V, _S_DESIRED_D, _S_W_A, _S_REF_S_LAST, _S_SPARE) = range(_NUM_SCALARS)
+ _S_DESIRED_V, _S_DESIRED_D, _S_W_A, _S_REF_S_LAST, _S_DESIRED_S) = range(_NUM_SCALARS)
 
 
 def pack_ref_tables(ref: frenet_ops.RefPathTables,
@@ -130,7 +130,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, table_t_ref, table_next_t_ref,
                     obs_ref, cost_ref,
                     *, n_steps: int, n_obstacles: int, p_rows: int,
-                    check_flags: tuple):
+                    check_flags: tuple, has_desired_s: bool = False):
     T = n_steps + 1
     TILE = cost_ref.shape[1]
     dt = scalars_ref[0, _S_DT]
@@ -320,6 +320,12 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0, keepdims=True)
                      + 50.0 * (v_end - desired_v) ** 2
                      + 100.0 * (v_mid - desired_v) ** 2)
+    if has_desired_s:
+        # stopping cost (cost_function.py:60-62)
+        desired_s = scalars_ref[0, _S_DESIRED_S]
+        costs = costs + (jnp.sum((0.25 * (desired_s - s)) ** 2, axis=0,
+                                 keepdims=True)
+                         + (20.0 * (desired_s - s[T - 1:T, :])) ** 2)
     costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0, keepdims=True)
                      + (20.0 * (desired_d - d[T - 1:T, :])) ** 2)
     costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0, keepdims=True)
@@ -400,7 +406,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             veh: VehicleArrays,
                             x0_orientation, dt: float,
                             low_vel, desired_speed, desired_d, w_a,
-                            ref_s_last=None,
+                            ref_s_last=None, desired_s=None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False) -> jnp.ndarray:
@@ -445,7 +451,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         (_S_X0_THETA, x0_orientation), (_S_DT, dt),
         (_S_LOW_VEL, jnp.asarray(low_vel, dtype)),
         (_S_DESIRED_V, desired_speed), (_S_DESIRED_D, desired_d),
-        (_S_W_A, w_a), (_S_REF_S_LAST, ref_s_last)]
+        (_S_W_A, w_a), (_S_REF_S_LAST, ref_s_last),
+        (_S_DESIRED_S, desired_s if desired_s is not None else 0.0)]
     for slot, value in values:
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 
@@ -456,7 +463,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     grid = (K_pad // _TILE_K,)
     out = pl.pallas_call(
         functools.partial(_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, p_rows=P, check_flags=check_flags),
+                          n_obstacles=M, p_rows=P, check_flags=check_flags,
+                          has_desired_s=desired_s is not None),
         out_shape=jax.ShapeDtypeStruct((1, K_pad), dtype),
         grid=grid,
         in_specs=[

@@ -142,3 +142,53 @@ def test_enlarge_extends_short_candidates(setup):
     tl = int(batch.traj_len[k])
     a_ext = np.asarray(res.a[k, tl:])
     np.testing.assert_allclose(a_ext, np.asarray(res.a[k, tl - 1]), atol=1e-12)
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12, 13])
+def test_randomized_conformance_sweep(setup, seed):
+    """Randomized initial states, velocity windows, and sampling levels: the
+    dense kernel must track the oracle across the operating envelope."""
+    cfg, tables, oref = setup
+    rng = np.random.default_rng(seed)
+
+    v0 = float(rng.uniform(0.5, 22.0))
+    low_vel = v0 < cfg.planning.low_vel_mode_threshold
+    cfg.sampling.v_min = max(0.0, v0 - rng.uniform(2.0, 6.0))
+    cfg.sampling.v_max = v0 + rng.uniform(2.0, 6.0)
+    space = FixedIntervalSampling(cfg)
+
+    x_0_lon = np.array([rng.uniform(15.0, 120.0), v0, rng.uniform(-2.0, 2.0)])
+    x_0_lat = np.array([rng.uniform(-2.5, 2.5), rng.uniform(-0.3, 0.3),
+                        rng.uniform(-0.2, 0.2)])
+    x0_theta = float(rng.uniform(-0.3, 0.3))
+    level = int(rng.integers(1, 4))
+
+    batch = space.generate_trajectories_at_level(level, x_0_lon, x_0_lat,
+                                                 "velocity_keeping", low_vel)
+    N = cfg.planning.time_steps_computation
+    res = kinematics.rollout(
+        jnp.asarray(batch.coeffs_lon), jnp.asarray(batch.coeffs_lat),
+        jnp.asarray(batch.traj_len), tables, _vehicle(cfg),
+        jnp.float64(x0_theta), cfg.planning.dt, N, low_vel)
+    ocands = oracle.evaluate_batch(batch, oref, _oracle_vehicle(cfg), x0_theta,
+                                   cfg.planning.dt, N, low_vel, CONSTRAINTS,
+                                   w_a=5.0, desired_d=0.0, desired_speed=v0)
+
+    got_f = np.asarray(res.feasible)
+    want_f = np.array([c.feasible for c in ocands])
+    np.testing.assert_array_equal(got_f, want_f)
+    got_r = np.asarray(res.reason)
+    for k, cand in enumerate(ocands):
+        if not cand.feasible:
+            assert REASON_BY_CODE[int(got_r[k])] == cand.reason
+
+    if got_f.any():
+        costs_dev = np.asarray(cost_ops.default_cost(
+            res, w_a=jnp.float64(5.0), desired_d=jnp.float64(0.0),
+            desired_speed=jnp.float64(v0)))
+        costs_orc = np.array([c.cost for c in ocands])
+        np.testing.assert_allclose(costs_dev[got_f], costs_orc[got_f],
+                                   rtol=1e-9, atol=1e-9)
+        masked_dev = np.where(got_f, costs_dev, np.inf)
+        masked_orc = np.where(got_f, costs_orc, np.inf)
+        assert int(np.argmin(masked_dev)) == int(np.argmin(masked_orc))

@@ -115,3 +115,39 @@ def test_pallas_scoring_no_obstacles():
     got = _pallas_masked_costs(cfg)
     np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
     assert int(np.argmin(got)) == int(np.argmin(want))
+
+
+def test_pallas_scoring_stopping_mode():
+    """Stopping mode: quintic longitudinal candidates toward stop positions
+    with the desired_s cost term and goal-behind filtering."""
+    cfg = _setup(v0=8.0, with_obstacle=False)
+    stop_s = 48.0
+    static_grid = grid_ops.make_static_grid(1, 0.4, cfg["n_steps"] * cfg["dt"],
+                                            cfg["dt"], -3.0, 3.0, 4)
+    x0_lon = jnp.asarray([40.0, 8.0, 0.0], jnp.float32)
+    x0_lat = jnp.asarray([0.3, 0.0, 0.0], jnp.float32)
+    cl, ca, tl, goal_valid = grid_ops.stopping_candidates(
+        x0_lon, x0_lat, jnp.float32(stop_s - 1.0), jnp.float32(stop_s + 1.0),
+        jnp.asarray(False), static_grid)
+
+    rollout = kin_ops.rollout(cl, ca, tl, cfg["ref"], cfg["veh"],
+                              cfg["x0_theta"], cfg["dt"], cfg["n_steps"], False)
+    want_costs = cost_ops.default_cost(
+        rollout, w_a=jnp.float32(1.0), desired_d=jnp.float32(0.0),
+        desired_speed=jnp.float32(0.0), desired_s=jnp.float32(stop_s))
+    want = np.where(np.asarray(rollout.feasible & goal_valid),
+                    np.asarray(want_costs), np.inf)
+
+    packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
+    got = np.asarray(pallas_cycle.score_candidates_pallas(
+        cl, ca, tl, goal_valid, packed, cfg["obstacles"], cfg["veh"],
+        cfg["x0_theta"], cfg["dt"], jnp.asarray(False), jnp.float32(0.0),
+        jnp.float32(0.0), jnp.float32(1.0),
+        pallas_cycle.true_path_length(cfg["ref"]), jnp.float32(stop_s),
+        n_steps=cfg["n_steps"], interpret=True))
+
+    np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
+    finite = np.isfinite(want)
+    assert finite.sum() > 0
+    np.testing.assert_allclose(got[finite], want[finite], rtol=2e-4, atol=1e-2)
+    assert int(np.argmin(got)) == int(np.argmin(want))
