@@ -105,44 +105,45 @@ def main():
                       scene.obs_valid[0], scene.corridor_lo[0],
                       scene.corridor_hi[0], scene.desired_speed[0])
 
-    # warm-up / compile
-    t0 = time.time()
-    out = cycle(carry, scene, carry.velocity[0])
-    jax.block_until_ready(out)
-    compile_time = time.time() - t0
+    if not args.pallas_probe:
+        # warm-up / compile
+        t0 = time.time()
+        out = cycle(carry, scene, carry.velocity[0])
+        jax.block_until_ready(out)
+        compile_time = time.time() - t0
 
-    # timed repeats (vary the velocity input so no result caching applies)
-    velocities = jnp.linspace(18.0, 22.0, args.repeats, dtype=dtype)
-    t0 = time.time()
-    for i in range(args.repeats):
-        out = cycle(carry, scene, velocities[i])
-    jax.block_until_ready(out)
-    device_time = (time.time() - t0) / args.repeats
-    device_evals_per_sec = K / device_time
+        # timed repeats (vary the velocity input so no result caching applies)
+        velocities = jnp.linspace(18.0, 22.0, args.repeats, dtype=dtype)
+        t0 = time.time()
+        for i in range(args.repeats):
+            out = cycle(carry, scene, velocities[i])
+        jax.block_until_ready(out)
+        device_time = (time.time() - t0) / args.repeats
+        device_evals_per_sec = K / device_time
 
-    # ---- fleet-amortized throughput (production configuration) ------------
-    # F problems x C cycles in ONE device call (shard_map'd lax.scan):
-    # amortizes per-call dispatch, which dominates single-cycle latency on
-    # the tunneled chip.
-    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+        # ---- fleet-amortized throughput (production configuration) --------
+        # F problems x C cycles in ONE device call (shard_map'd lax.scan):
+        # amortizes per-call dispatch, which dominates single-cycle latency
+        # on the tunneled chip.
+        from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
 
-    F = 16
-    n_cycles = 10
-    fleet_scene, fleet_carry = fleet_ops.build_fleet_scene([problem] * F,
-                                                           n_steps, dtype=dtype)
-    mesh = make_fleet_mesh()
-    fleet_run = fleet_ops.make_fleet_rollout(
-        mesh, veh, static_grid, dt, n_steps, replan_offset=3,
-        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles)
-    out = fleet_run(fleet_carry, fleet_scene)          # warm-up/compile
-    jax.block_until_ready(out)
-    fleet_repeats = max(3, args.repeats // 10)
-    t0 = time.time()
-    for _ in range(fleet_repeats):
-        out = fleet_run(fleet_carry, fleet_scene)
-    jax.block_until_ready(out)
-    fleet_time = (time.time() - t0) / fleet_repeats
-    fleet_evals_per_sec = F * K * n_cycles / fleet_time
+        F = 16
+        n_cycles = 10
+        fleet_scene, fleet_carry = fleet_ops.build_fleet_scene(
+            [problem] * F, n_steps, dtype=dtype)
+        mesh = make_fleet_mesh()
+        fleet_run = fleet_ops.make_fleet_rollout(
+            mesh, veh, static_grid, dt, n_steps, replan_offset=3,
+            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles)
+        out = fleet_run(fleet_carry, fleet_scene)          # warm-up/compile
+        jax.block_until_ready(out)
+        fleet_repeats = max(3, args.repeats // 10)
+        t0 = time.time()
+        for _ in range(fleet_repeats):
+            out = fleet_run(fleet_carry, fleet_scene)
+        jax.block_until_ready(out)
+        fleet_time = (time.time() - t0) / fleet_repeats
+        fleet_evals_per_sec = F * K * n_cycles / fleet_time
 
     # ---- fused Pallas scorer (VMEM-resident full-cycle evaluation) ---------
     # guarded: falls back gracefully if the backend rejects the kernel.
