@@ -131,8 +131,36 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     obs_ref, cost_ref,
                     *, n_steps: int, n_obstacles: int, p_rows: int,
                     check_flags: tuple, has_desired_s: bool = False):
+    """Single-problem kernel shell."""
+    cost_ref[:] = _scoring_body(
+        scalars_ref, coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
+        goal_valid_ref[:], table_ref[:], table_t_ref[:], table_next_t_ref[:],
+        obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
+        n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
+        check_flags=check_flags, has_desired_s=has_desired_s)
+
+
+def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
+                          traj_len_ref, goal_valid_ref, table_ref, table_t_ref,
+                          table_next_t_ref, obs_ref, cost_ref,
+                          *, n_steps: int, n_obstacles: int, p_rows: int,
+                          check_flags: tuple, has_desired_s: bool = False):
+    """Fleet kernel shell: every ref carries a leading per-problem block axis
+    of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
+    cost_ref[0] = _scoring_body(
+        scalars_ref, coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
+        goal_valid_ref[0], table_ref[0], table_t_ref[0], table_next_t_ref[0],
+        obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
+        n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
+        check_flags=check_flags, has_desired_s=has_desired_s)
+
+
+def _scoring_body(scalars_ref, c_lon_full, c_lat_full, traj_len_row,
+                  goal_valid_row, table, table_T, table_next_T, obs_ref,
+                  obs_col, *, n_steps: int, n_obstacles: int, p_rows: int,
+                  check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
-    TILE = cost_ref.shape[1]
+    TILE = c_lon_full.shape[1]
     dt = scalars_ref[0, _S_DT]
     low_vel = scalars_ref[0, _S_LOW_VEL] > 0.5
     wheelbase = scalars_ref[0, _S_WHEELBASE]
@@ -143,9 +171,9 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     x0_theta = scalars_ref[0, _S_X0_THETA]
     ref_s_last = scalars_ref[0, _S_REF_S_LAST]
 
-    c_lon = coeffs_lon_ref[:]                               # [6, TILE]
-    c_lat = coeffs_lat_ref[:]
-    traj_len = traj_len_ref[0, :]                           # [TILE] f32
+    c_lon = c_lon_full                                      # [6, TILE]
+    c_lat = c_lat_full
+    traj_len = traj_len_row[0, :]                           # [TILE] f32
     step = jax.lax.broadcasted_iota(jnp.int32, (T, TILE), 0).astype(jnp.float32)
     active = step < traj_len[None, :]
     t = step * dt
@@ -181,9 +209,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                    jnp.any(s_dot < -_EPS, axis=0, keepdims=True))  # [1, TILE]
 
     # ---- table gathers per time chunk (MXU one-hot), strictly 2-D --------
-    s_col = table_ref[:, 0:1]                               # [P, 1]
-    table_T = table_t_ref[:]                                # [12, P]
-    table_next_T = table_next_t_ref[:]
+    s_col = table[:, 0:1]                                   # [P, 1]
     lo_cols = [[] for _ in range(_NUM_COLS)]
     hi_cols = [[] for _ in range(4)]
     for c in range(T):                                      # static, small T
@@ -270,7 +296,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     kin_feasible = ~prefiltered & ~jnp.any(viol & active, axis=0, keepdims=True)
     domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0,
                         keepdims=True)
-    feasible = kin_feasible & domain_ok & (goal_valid_ref[:] > 0.5)  # [1, TILE]
+    feasible = kin_feasible & domain_ok & (goal_valid_row > 0.5)  # [1, TILE]
 
     # ---- enlarge (constant-acceleration extension) ------------------------
     ext = ~active
@@ -360,12 +386,12 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     ecx = ego_x + wb_rear * e_cos
     ecy = ego_y + wb_rear * e_sin
     for m in range(n_obstacles):
-        ox = obs_ref[m, :, 0:1]
-        oy = obs_ref[m, :, 1:2]
-        otheta = obs_ref[m, :, 2:3]
-        ohl = obs_ref[m, :, 3:4]
-        ohw = obs_ref[m, :, 4:5]
-        valid = obs_ref[m, :, 5:6] > 0.5
+        ox = obs_col(m, 0)
+        oy = obs_col(m, 1)
+        otheta = obs_col(m, 2)
+        ohl = obs_col(m, 3)
+        ohw = obs_col(m, 4)
+        valid = obs_col(m, 5) > 0.5
 
         o_cos = jnp.cos(otheta)
         o_sin = jnp.sin(otheta)
@@ -383,8 +409,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                      ohw + half_len * rel_sin + half_wid * rel_cos)
         collides = collides | jnp.any(valid & ~sep, axis=0, keepdims=True)
 
-    masked = jnp.where(feasible & ~collides, costs, jnp.float32(np.inf))
-    cost_ref[:] = masked
+    return jnp.where(feasible & ~collides, costs, jnp.float32(np.inf))
 
 
 def score_candidates_pallas(*args, **kwargs):
@@ -492,3 +517,132 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, table, table_T, table_next_T, obs)
     return out[0, :K]
+def score_fleet_pallas(*args, **kwargs):
+    """Masked candidate costs [F, K] for a fleet of planning problems.
+
+    x64-disabling wrapper around :func:`_score_fleet_pallas` (Mosaic rejects
+    64-bit layouts; the context manager must wrap the jit CALL, not the body).
+    """
+    with jax.enable_x64(False):
+        return _score_fleet_pallas(*args, **kwargs)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
+                                             "has_desired_s", "interpret"))
+def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
+                        traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
+                        packed_tables: jnp.ndarray,
+                        obs_pose: jnp.ndarray, obs_half_ext: jnp.ndarray,
+                        obs_valid: jnp.ndarray,
+                        veh_stack: jnp.ndarray,
+                        x0_orientation: jnp.ndarray, dt: float,
+                        low_vel: jnp.ndarray, desired_speed: jnp.ndarray,
+                        desired_d: jnp.ndarray, w_a: jnp.ndarray,
+                        ref_s_last: jnp.ndarray,
+                        desired_s: jnp.ndarray | None = None,
+                        *, n_steps: int,
+                        check_flags: tuple = (True,) * 5,
+                        has_desired_s: bool = False,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Fleet-batched fused scoring: one pallas grid over (problem, K-tile).
+
+    Every per-problem quantity carries a leading F axis:
+      coeffs_lon/lat [F, K, 6], traj_len/goal_valid [F, K],
+      packed_tables [F, P, 12] (pack each problem with ``pack_ref_tables``
+      and sentinel-pad to a common P), obs_pose [F, M, T, 3],
+      obs_half_ext [F, M, 2], obs_valid [F, M, T] (pad with valid=False),
+      veh_stack [F, 8] (VehicleArrays leaves in field order),
+      x0_orientation/low_vel/desired_speed/desired_d/w_a/ref_s_last [F].
+
+    The kernel grid is (F, K_pad // TILE); BlockSpec index maps route each
+    program instance to its problem's tables/obstacles/scalars, so F
+    heterogeneous planning problems score in one launch with zero host
+    round-trips.  ``has_desired_s`` (stopping-mode cost term) is a static
+    structural flag for the whole fleet.
+    """
+    dtype = jnp.float32
+    F, K = coeffs_lon.shape[0], coeffs_lon.shape[1]
+    T = n_steps + 1
+    P = packed_tables.shape[1]
+    M = obs_pose.shape[1]
+
+    K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
+    pad = K_pad - K
+    cl = jnp.pad(jnp.swapaxes(coeffs_lon, 1, 2).astype(dtype),
+                 ((0, 0), (0, 0), (0, pad)))                     # [F, 6, Kp]
+    ca = jnp.pad(jnp.swapaxes(coeffs_lat, 1, 2).astype(dtype),
+                 ((0, 0), (0, 0), (0, pad)))
+    tl = jnp.pad(traj_len.astype(dtype)[:, None, :], ((0, 0), (0, 0), (0, pad)))
+    gv = jnp.pad(goal_valid.astype(dtype)[:, None, :], ((0, 0), (0, 0), (0, pad)))
+
+    if M > 0:
+        obs = jnp.concatenate(
+            [obs_pose.astype(dtype),
+             jnp.broadcast_to(obs_half_ext[:, :, None, :],
+                              (F, M, T, 2)).astype(dtype),
+             obs_valid.astype(dtype)[..., None]], axis=-1)       # [F, M, T, 6]
+    else:
+        obs = jnp.zeros((F, 1, T, 6), dtype)
+
+    scalars = jnp.zeros((F, _NUM_SCALARS), dtype)
+    veh_stack = veh_stack.astype(dtype)
+    values = [
+        (_S_WHEELBASE, veh_stack[:, 0]), (_S_WB_REAR, veh_stack[:, 1]),
+        (_S_A_MAX, veh_stack[:, 2]), (_S_V_SWITCH, veh_stack[:, 3]),
+        (_S_KAPPA_MAX, veh_stack[:, 4]), (_S_V_DELTA_MAX, veh_stack[:, 5]),
+        (_S_HALF_LEN, veh_stack[:, 6]), (_S_HALF_WID, veh_stack[:, 7]),
+        (_S_X0_THETA, x0_orientation), (_S_DT, jnp.full((F,), dt, dtype)),
+        (_S_LOW_VEL, low_vel), (_S_DESIRED_V, desired_speed),
+        (_S_DESIRED_D, desired_d), (_S_W_A, w_a),
+        (_S_REF_S_LAST, ref_s_last),
+        (_S_DESIRED_S, desired_s if desired_s is not None
+         else jnp.zeros((F,), dtype))]
+    for slot, value in values:
+        scalars = scalars.at[:, slot].set(jnp.asarray(value, dtype))
+
+    tables = packed_tables.astype(dtype)                         # [F, P, 12]
+    tables_T = jnp.swapaxes(tables, 1, 2)                        # [F, 12, P]
+    tables_next_T = jnp.swapaxes(
+        jnp.concatenate([tables[:, 1:], tables[:, :1]], axis=1), 1, 2)
+
+    grid = (F, K_pad // _TILE_K)
+    out = pl.pallas_call(
+        functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
+                          n_obstacles=M, p_rows=P, check_flags=check_flags,
+                          has_desired_s=has_desired_s),
+        out_shape=jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _NUM_SCALARS), lambda f, i: (f, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 6, _TILE_K), lambda f, i: (f, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, _TILE_K), lambda f, i: (f, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, _NUM_COLS), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NUM_COLS, P), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _NUM_COLS, P), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, max(M, 1), T, 6), lambda f, i: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(scalars, cl, ca, tl, gv, tables, tables_T, tables_next_T, obs)
+    return out[:, 0, :K]
+
+
+def pack_veh_stack(veh: VehicleArrays) -> jnp.ndarray:
+    """[F, 8] vehicle-parameter stack for ``score_fleet_pallas`` from a
+    VehicleArrays whose leaves are [F] (parallel.fleet.FleetScene.veh)."""
+    return jnp.stack([veh.wheelbase, veh.wb_rear_axle, veh.a_max,
+                      veh.v_switch, veh.kappa_max, veh.v_delta_max,
+                      veh.half_length, veh.half_width],
+                     axis=-1).astype(jnp.float32)

@@ -151,3 +151,87 @@ def test_pallas_scoring_stopping_mode():
     assert finite.sum() > 0
     np.testing.assert_allclose(got[finite], want[finite], rtol=2e-4, atol=1e-2)
     assert int(np.argmin(got)) == int(np.argmin(want))
+
+def test_fleet_scoring_matches_per_problem():
+    """score_fleet_pallas (grid over problems x K-tiles) must reproduce
+    per-problem score_candidates_pallas for a heterogeneous fleet: different
+    reference paths, obstacles, speeds, and a low-velocity member."""
+    fleet_cfgs = [
+        _setup(v0=15.0, low_vel=False, with_obstacle=True),
+        _setup(v0=2.5, low_vel=True, with_obstacle=True),
+        _setup(v0=10.0, low_vel=False, with_obstacle=False),
+    ]
+    # vary the geometry of problem 2 (different ref path + corridor width)
+    xs = np.linspace(0.0, 180.0, 380)
+    ys = 0.02 * xs + 3.0 * np.cos(xs / 45.0)
+    ref2 = frenet_ops.from_polyline(np.stack([xs, ys], axis=1),
+                                    dtype=jnp.float32)
+    fleet_cfgs[2]["ref"] = ref2
+    fleet_cfgs[2]["corridor"] = collision_ops.CorridorArrays(
+        d_lo=jnp.full(ref2.s.shape[0], -3.2, jnp.float32),
+        d_hi=jnp.full(ref2.s.shape[0], 3.2, jnp.float32))
+
+    F = len(fleet_cfgs)
+    n_steps = fleet_cfgs[0]["n_steps"]
+    T = n_steps + 1
+    K = fleet_cfgs[0]["cl"].shape[0]
+
+    packed = [pallas_cycle.pack_ref_tables(c["ref"], c["corridor"])
+              for c in fleet_cfgs]
+    P = max(p.shape[0] for p in packed)
+    padded_tables, want = [], []
+    for c, p in zip(fleet_cfgs, packed):
+        if p.shape[0] < P:
+            n = P - p.shape[0]
+            rows = jnp.tile(p[-1:], (n, 1))
+            rows = rows.at[:, 0].add(
+                1e7 * jnp.arange(1, n + 1, dtype=jnp.float32))
+            p = jnp.concatenate([p, rows], axis=0)
+        padded_tables.append(p)
+        want.append(np.asarray(pallas_cycle.score_candidates_pallas(
+            c["cl"], c["ca"], c["tl"], jnp.ones(K, dtype=bool), p,
+            c["obstacles"], c["veh"], c["x0_theta"], c["dt"], c["low_vel"],
+            c["desired_v"], jnp.float32(0.0), jnp.float32(5.0),
+            pallas_cycle.true_path_length(c["ref"]),
+            n_steps=n_steps, interpret=True)))
+
+    M = max(c["obstacles"].pose.shape[0] for c in fleet_cfgs)
+    obs_pose = np.zeros((F, M, T, 3), np.float32)
+    obs_ext = np.zeros((F, M, 2), np.float32)
+    obs_valid = np.zeros((F, M, T), np.float32)
+    for f, c in enumerate(fleet_cfgs):
+        m = c["obstacles"].pose.shape[0]
+        if m:
+            obs_pose[f, :m] = np.asarray(c["obstacles"].pose)
+            obs_ext[f, :m] = np.asarray(c["obstacles"].half_ext)
+            obs_valid[f, :m] = np.asarray(c["obstacles"].valid)
+
+    veh_stack = jnp.stack([pallas_cycle.pack_veh_stack(
+        jax.tree.map(lambda x: x[None], c["veh"]))[0] for c in fleet_cfgs])
+
+    got = np.asarray(pallas_cycle.score_fleet_pallas(
+        jnp.stack([c["cl"] for c in fleet_cfgs]),
+        jnp.stack([c["ca"] for c in fleet_cfgs]),
+        jnp.stack([c["tl"] for c in fleet_cfgs]),
+        jnp.ones((F, K), dtype=bool),
+        jnp.stack(padded_tables),
+        jnp.asarray(obs_pose), jnp.asarray(obs_ext), jnp.asarray(obs_valid),
+        veh_stack,
+        jnp.stack([c["x0_theta"] for c in fleet_cfgs]),
+        fleet_cfgs[0]["dt"],
+        jnp.asarray([float(c["low_vel"]) for c in fleet_cfgs], jnp.float32),
+        jnp.stack([c["desired_v"] for c in fleet_cfgs]),
+        jnp.zeros(F, jnp.float32), jnp.full(F, 5.0, jnp.float32),
+        jnp.stack([pallas_cycle.true_path_length(c["ref"])
+                   for c in fleet_cfgs]),
+        n_steps=n_steps, interpret=True))
+
+    for f in range(F):
+        np.testing.assert_array_equal(np.isfinite(got[f]),
+                                      np.isfinite(want[f]),
+                                      err_msg=f"problem {f} feasibility")
+        fin = np.isfinite(want[f])
+        assert fin.sum() > 0
+        np.testing.assert_allclose(got[f][fin], want[f][fin],
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"problem {f} costs")
