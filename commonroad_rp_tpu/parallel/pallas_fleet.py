@@ -124,3 +124,115 @@ def make_pallas_replanning_scan(ref: RefPathTables,
             return raw(carry)
 
     return run
+
+def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
+                           dt: float, n_steps: int, replan_offset: int,
+                           low_vel_threshold: float, horizon: float,
+                           n_cycles: int, interpret: bool = False):
+    """Fleet replanning scan on the fused Pallas scorer (one chip, F problems).
+
+    Takes a :class:`parallel.fleet.FleetScene` (stacked per-problem tables)
+    and returns ``run(carry: FleetCarry) -> (carry, metrics)`` where every
+    cycle launches ONE pallas kernel over the (problem, candidate-tile) grid
+    — candidate states stay in VMEM; only [F, K] masked costs and the F
+    winning rows (re-rolled at K=1 through the XLA path) touch HBM.
+
+    Complements :func:`make_pallas_replanning_scan` (single problem) and
+    ``parallel.fleet.make_fleet_rollout`` (XLA path, shard_map over chips).
+    """
+    from commonroad_rp_tpu.ops.collision import CorridorArrays as _Corr
+
+    dtype = jnp.float32
+    T = n_steps + 1
+    with jax.enable_x64(False):
+        corr = _Corr(d_lo=scene.corridor_lo, d_hi=scene.corridor_hi)
+        packed = jax.vmap(pallas_cycle.pack_ref_tables)(scene.ref, corr)
+        # FleetScene pads refs with arclength sentinels stepping by 1e6
+        # (fleet.build_fleet_scene); the true per-problem path length is the
+        # largest arclength below the sentinel band
+        s = scene.ref.s
+        ref_s_last = jnp.max(
+            jnp.where(s < s[:, :1] + 5e5, s, -jnp.inf), axis=1).astype(dtype)
+        veh_stack = pallas_cycle.pack_veh_stack(scene.veh)
+
+    t_full = scene.obs_pose.shape[2]
+
+    def cycle(carry, _):
+        F = carry.x0_lon.shape[0]
+        v_min = jnp.maximum(0.0, carry.velocity
+                            - 0.125 * horizon * scene.veh.a_max)
+        v_max = jnp.maximum(v_min + 5.0, carry.velocity + 2.0)
+        low_vel = carry.velocity < low_vel_threshold
+
+        cl, ca, tl = jax.vmap(
+            grid_ops.velocity_keeping_candidates,
+            in_axes=(0, 0, 0, 0, 0, None))(
+                carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, static_grid)
+        K = cl.shape[1]
+
+        def window(pose, valid, step):
+            wp = jax.lax.dynamic_slice_in_dim(pose, step, T, axis=1)
+            wv = jax.lax.dynamic_slice_in_dim(valid, step, T, axis=1)
+            # dynamic_slice clamps: windows past the prediction span would
+            # repeat stale poses — invalidate them explicitly
+            abs_step = step + jnp.arange(T, dtype=jnp.int32)
+            return wp, wv & (abs_step < t_full)[None, :]
+
+        obs_pose_w, obs_valid_w = jax.vmap(window)(
+            scene.obs_pose, scene.obs_valid, carry.time_step)
+
+        costs = pallas_cycle._score_fleet_pallas(
+            cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
+            obs_pose_w, scene.obs_half, obs_valid_w, veh_stack,
+            carry.orientation, dt, low_vel.astype(dtype),
+            scene.desired_speed.astype(dtype), jnp.zeros(F, dtype),
+            jnp.full(F, 5.0, dtype), ref_s_last,
+            n_steps=n_steps, interpret=interpret)          # [F, K]
+
+        best = jnp.argmin(costs, axis=1)                   # [F]
+        best_cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
+        found = jnp.isfinite(best_cost)
+
+        # re-roll ONLY the winners (K = 1 per problem) for the carry update
+        def reroll(cl1, ca1, tl1, ref_f, veh_f, orient, lv):
+            return kin_ops.rollout(cl1[None, :], ca1[None, :], tl1[None],
+                                   ref_f, veh_f, orient, dt, n_steps, lv)
+        take = lambda a: jnp.take_along_axis(
+            a, best[:, None, None], axis=1)[:, 0]
+        rollout = jax.vmap(reroll)(
+            take(cl), take(ca),
+            jnp.take_along_axis(tl, best[:, None], axis=1)[:, 0],
+            scene.ref, scene.veh, carry.orientation, low_vel)
+
+        r = replan_offset
+        pick = lambda a: a[:, 0, r]
+        new_lon = jnp.stack([pick(rollout.s), pick(rollout.s_dot),
+                             pick(rollout.s_ddot)], axis=1)
+        new_lat = jnp.stack([pick(rollout.d), pick(rollout.d_dot),
+                             pick(rollout.d_ddot)], axis=1)
+
+        step_alive = carry.alive & found
+        keep = lambda new, old: jnp.where(
+            step_alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+        new_carry = type(carry)(
+            x0_lon=keep(new_lon, carry.x0_lon),
+            x0_lat=keep(new_lat, carry.x0_lat),
+            orientation=keep(pick(rollout.theta_gl), carry.orientation),
+            velocity=keep(pick(rollout.v), carry.velocity),
+            time_step=jnp.where(step_alive, carry.time_step + r,
+                                carry.time_step),
+            alive=step_alive)
+        metrics = (found, best_cost, pick(rollout.x), pick(rollout.y),
+                   jnp.sum(found), jnp.mean(jnp.where(found, best_cost, 0.0)))
+        return new_carry, metrics
+
+    raw = jax.jit(lambda carry: jax.lax.scan(cycle, carry, None,
+                                             length=n_cycles))
+
+    def run(carry):
+        # x64-off must wrap the CALL (Mosaic rejects 64-bit layouts and the
+        # context inside the traced body does not take effect)
+        with jax.enable_x64(False):
+            return raw(carry)
+
+    return run

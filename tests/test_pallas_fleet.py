@@ -72,3 +72,50 @@ def test_pallas_replanning_scan_matches_fleet(repo_root):
     np.testing.assert_allclose(np.asarray(metrics_p[1]),
                                np.asarray(metrics_x.best_cost[:, 0]),
                                rtol=2e-3)
+
+def test_pallas_fleet_scan_matches_xla_fleet(repo_root):
+    """Multi-problem pallas fleet scan (one kernel launch per cycle over the
+    (problem, tile) grid) vs the XLA fleet rollout on a 3-problem fleet built
+    from two bundled scenarios."""
+    dtype = jnp.float32
+    n_steps, dt = 20, 0.1
+    problems = []
+    for name in ["ZAM_Over-1_1.xml", "DEU_Test-1_1_T-1.xml"]:
+        scenario, pp, _ = load_scenario_and_planning_problem(
+            str(repo_root / "example_scenarios" / name))
+        route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+        problems.append(fleet_ops.problem_from_planner_setup(
+            scenario, pp, route.reference_path, n_steps=n_steps,
+            horizon_pad=60, dtype=dtype))
+    # duplicate with a perturbed start to make F=3 heterogeneous
+    p2 = dict(problems[0])
+    p2["velocity"] = problems[0]["velocity"] * 0.8
+    p2["x0_lon"] = np.asarray(problems[0]["x0_lon"]) * np.array([1.0, 0.8, 1.0])
+    problems.append(p2)
+
+    static_grid = grid_ops.make_static_grid(2, 0.4, n_steps * dt, dt,
+                                            -3.0, 3.0, 4)
+    n_cycles = 5
+    scene, carry = fleet_ops.build_fleet_scene(problems, n_steps, dtype=dtype)
+
+    run_p = pallas_fleet.make_pallas_fleet_scan(
+        scene, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles,
+        interpret=True)
+    final_p, metrics_p = run_p(carry)
+
+    run_x = fleet_ops.make_fleet_rollout(
+        make_fleet_mesh(1), None, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles)
+    final_x, metrics_x = run_x(carry, scene)
+
+    found_p = np.asarray(metrics_p[0])
+    assert found_p.all(), "all fleet members should plan every cycle"
+    np.testing.assert_array_equal(found_p, np.asarray(metrics_x.found))
+    np.testing.assert_allclose(np.asarray(final_p.x0_lon),
+                               np.asarray(final_x.x0_lon), rtol=2e-4,
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(final_p.velocity),
+                               np.asarray(final_x.velocity), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(metrics_p[1]),
+                               np.asarray(metrics_x.best_cost), rtol=2e-3)
