@@ -81,6 +81,31 @@ class CoordinateSystem:
     def ref_theta(self) -> np.ndarray:
         return self._ref_theta
 
+    def projection_domain(self, d_limit: float = 25.0) -> np.ndarray:
+        """Closed polygon [N, 2] bounding the region of unique curvilinear
+        projection (pycrccosy ``projection_domain()``, drawn by
+        visualization.py:68-69 in the reference).
+
+        The orthogonal projection onto the reference path is unique while the
+        lateral offset stays below the curvature center on the bent side:
+        |d| < 1/|kappa|.  The domain is the reference path offset along the
+        unit normals by +/- min(d_limit, margin / |kappa|), traversed
+        counter-clockwise and closed.
+        """
+        kappa = np.abs(self._ref_curv)
+        # keep a 10% safety margin to the curvature center, as the C++ CLCS
+        # does, so the inverse map stays well-conditioned at the boundary
+        reach = np.where(kappa > 1e-12,
+                         np.minimum(d_limit, 0.9 / np.maximum(kappa, 1e-12)),
+                         d_limit)
+        # curvature sign decides which side the center lies on; the opposite
+        # side is unconstrained up to d_limit
+        lo = np.where(self._ref_curv < 0.0, -reach, -d_limit)
+        hi = np.where(self._ref_curv > 0.0, reach, d_limit)
+        left = self._reference + hi[:, None] * self._normal
+        right = self._reference + lo[:, None] * self._normal
+        return np.concatenate([left, right[::-1], left[:1]], axis=0)
+
     def convert_to_cartesian_coords(self, s: float, d: float) -> Optional[np.ndarray]:
         """(s, d) -> (x, y); None outside the projection domain
         (utils_coordinate_system.py:167-174). Host/numpy."""

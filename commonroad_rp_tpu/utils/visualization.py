@@ -90,7 +90,67 @@ def visualize_scenario_and_pp(scenario: Scenario, planning_problem,
     if cosy is not None:
         ax.plot(*np.asarray(cosy.reference).T, color="#2e86c1", lw=1.2,
                 zorder=4, label="reference path")
+        if hasattr(cosy, "projection_domain"):
+            # projection-domain outline (reference visualization.py:68-69)
+            ax.plot(*cosy.projection_domain().T, color="#85c1e9", lw=0.8,
+                    ls="--", zorder=3)
     ax.set_aspect("equal")
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
+def visualize_collision_checker(scenario: Scenario, collision_checker=None,
+                                timestep: int = 0,
+                                save_path: Optional[str] = None):
+    """Render the compiled collision scene: road-boundary segments and
+    obstacle OBB footprints at ``timestep`` (reference visualization.py:73-82,
+    drawing the pycrcc CollisionChecker's objects).
+
+    ``collision_checker`` is a models.planner.CollisionChecker; built from
+    the scenario when omitted.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import jax.numpy as jnp
+
+    if collision_checker is None:
+        from commonroad_rp_tpu.models.planner import CollisionChecker
+        collision_checker = CollisionChecker(scenario, continuous=False,
+                                             dtype=jnp.float64)
+
+    fig, ax = plt.subplots(figsize=(12, 6))
+    # boundary segments of the drivable-area complement
+    b = collision_checker.boundary
+    if b is not None and b.segments.shape[0]:
+        segs = np.asarray(b.segments)            # [B, 2, 2]
+        bval = np.asarray(b.valid)
+        for m in range(segs.shape[0]):
+            if bval[m]:
+                ax.plot(segs[m, :, 0], segs[m, :, 1], color="#e74c3c",
+                        lw=1.0, zorder=3)
+
+    # obstacle OBBs at the requested step (one compiled window)
+    obs = collision_checker.obstacles_for_window(timestep, 0, 1)
+    pose = np.asarray(obs.pose)          # [M, 1, 3]
+    half = np.asarray(obs.half_ext)      # [M, 2]
+    valid = np.asarray(obs.valid)        # [M, 1]
+    for m in range(pose.shape[0]):
+        if not valid[m, 0]:
+            continue
+        cx, cy, th = pose[m, 0]
+        hl, hw = half[m]
+        c, s = np.cos(th), np.sin(th)
+        corners = np.array([[hl, hw], [hl, -hw], [-hl, -hw], [-hl, hw],
+                            [hl, hw]])
+        world = corners @ np.array([[c, s], [-s, c]]) + [cx, cy]
+        ax.plot(world[:, 0], world[:, 1], color="#34495e", lw=1.2, zorder=4)
+        ax.fill(world[:, 0], world[:, 1], color="#5d6d7e", alpha=0.5, zorder=4)
+
+    ax.set_aspect("equal")
+    ax.set_title(f"collision checker @ t={timestep}")
     if save_path:
         fig.savefig(save_path, dpi=150, bbox_inches="tight")
         plt.close(fig)

@@ -71,3 +71,28 @@ def test_bundle_labels(planned):
     labels = set(bundle.labels)
     assert FeasibilityStatus.FEASIBLE in labels
     assert len(bundle.labels) == len(bundle.costs)
+
+
+def test_visualize_collision_checker_and_projection_domain(repo_root, tmp_path):
+    from commonroad_rp_tpu.utils.coordinate_system import CoordinateSystem
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+    from commonroad_rp_tpu.utils.visualization import (
+        visualize_collision_checker, visualize_scenario_and_pp)
+
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Tjunction-1_42_T-1.xml"))
+    out = tmp_path / "cc.png"
+    visualize_collision_checker(scenario, timestep=0, save_path=str(out))
+    assert out.stat().st_size > 1000
+
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    cosy = CoordinateSystem(route.reference_path)
+    domain = cosy.projection_domain()
+    assert domain.shape[1] == 2 and domain.shape[0] > 10
+    assert np.isfinite(domain).all()
+    # closed polygon
+    np.testing.assert_allclose(domain[0], domain[-1])
+    out2 = tmp_path / "pp.png"
+    visualize_scenario_and_pp(scenario, pp, cosy=cosy, save_path=str(out2))
+    assert out2.stat().st_size > 1000
