@@ -26,6 +26,9 @@ def main():
     parser.add_argument("--cycles", type=int, default=20)
     parser.add_argument("--level", type=int, default=3)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--pallas", action="store_true",
+                        help="use the fused Pallas fleet scoring kernel "
+                             "(parallel.pallas_fleet.make_pallas_fleet_scan)")
     args = parser.parse_args()
 
     import jax
@@ -68,9 +71,17 @@ def main():
                                             -3.0, 3.0, 4)
     K = static_grid.size
 
-    run = fleet_ops.make_fleet_rollout(
-        make_fleet_mesh(), veh, static_grid, dt, n_steps, replan_offset=3,
-        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=args.cycles)
+    if args.pallas:
+        from commonroad_rp_tpu.parallel import pallas_fleet
+        run_scan = pallas_fleet.make_pallas_fleet_scan(
+            scene, static_grid, dt, n_steps, replan_offset=3,
+            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=args.cycles,
+            interpret=jax.default_backend() == "cpu")
+        run = lambda c, _s: run_scan(c)
+    else:
+        run = fleet_ops.make_fleet_rollout(
+            make_fleet_mesh(), veh, static_grid, dt, n_steps, replan_offset=3,
+            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=args.cycles)
 
     t0 = time.time()
     out = run(carry, scene)
@@ -84,7 +95,8 @@ def main():
     elapsed = (time.time() - t0) / args.repeats
 
     final_carry, metrics = out
-    success = np.asarray(metrics.fleet_success)
+    success = (np.asarray(metrics[4]) if args.pallas
+               else np.asarray(metrics.fleet_success))
     problem_cycles = args.fleet_size * args.cycles
     print(json.dumps({
         "fleet_size": args.fleet_size,
@@ -98,6 +110,7 @@ def main():
         "success_last_cycle": int(success[-1]),
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
+        "path": "pallas" if args.pallas else "xla",
     }))
 
 
