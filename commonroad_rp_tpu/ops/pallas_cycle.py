@@ -133,7 +133,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     check_flags: tuple, has_desired_s: bool = False):
     """Single-problem kernel shell."""
     cost_ref[:] = _scoring_body(
-        scalars_ref, coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
+        lambda slot: scalars_ref[0, slot],
+        coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], table_ref[:], table_t_ref[:], table_next_t_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
@@ -148,28 +149,29 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
     """Fleet kernel shell: every ref carries a leading per-problem block axis
     of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
     cost_ref[0] = _scoring_body(
-        scalars_ref, coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
+        lambda slot: scalars_ref[0, 0, slot],
+        coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
         goal_valid_ref[0], table_ref[0], table_t_ref[0], table_next_t_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
-def _scoring_body(scalars_ref, c_lon_full, c_lat_full, traj_len_row,
+def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                   goal_valid_row, table, table_T, table_next_T, obs_ref,
                   obs_col, *, n_steps: int, n_obstacles: int, p_rows: int,
                   check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
-    dt = scalars_ref[0, _S_DT]
-    low_vel = scalars_ref[0, _S_LOW_VEL] > 0.5
-    wheelbase = scalars_ref[0, _S_WHEELBASE]
-    a_max = scalars_ref[0, _S_A_MAX]
-    v_switch = scalars_ref[0, _S_V_SWITCH]
-    kappa_max = scalars_ref[0, _S_KAPPA_MAX]
-    v_delta_max = scalars_ref[0, _S_V_DELTA_MAX]
-    x0_theta = scalars_ref[0, _S_X0_THETA]
-    ref_s_last = scalars_ref[0, _S_REF_S_LAST]
+    dt = scal(_S_DT)
+    low_vel = scal(_S_LOW_VEL) > 0.5
+    wheelbase = scal(_S_WHEELBASE)
+    a_max = scal(_S_A_MAX)
+    v_switch = scal(_S_V_SWITCH)
+    kappa_max = scal(_S_KAPPA_MAX)
+    v_delta_max = scal(_S_V_DELTA_MAX)
+    x0_theta = scal(_S_X0_THETA)
+    ref_s_last = scal(_S_REF_S_LAST)
 
     c_lon = c_lon_full                                      # [6, TILE]
     c_lat = c_lat_full
@@ -337,9 +339,9 @@ def _scoring_body(scalars_ref, c_lon_full, c_lat_full, traj_len_row,
     d = jnp.where(ext, take_last(d) + t_rel * take_last(d_dot), d)
 
     # ---- cost (DefaultCostFunction) ---------------------------------------
-    w_a = scalars_ref[0, _S_W_A]
-    desired_v = scalars_ref[0, _S_DESIRED_V]
-    desired_d = scalars_ref[0, _S_DESIRED_D]
+    w_a = scal(_S_W_A)
+    desired_v = scal(_S_DESIRED_V)
+    desired_d = scal(_S_DESIRED_D)
     v_end = v[T - 1:T, :]
     v_mid = v[T // 2:T // 2 + 1, :]
     costs = jnp.sum((w_a * a) ** 2, axis=0, keepdims=True)
@@ -348,7 +350,7 @@ def _scoring_body(scalars_ref, c_lon_full, c_lat_full, traj_len_row,
                      + 100.0 * (v_mid - desired_v) ** 2)
     if has_desired_s:
         # stopping cost (cost_function.py:60-62)
-        desired_s = scalars_ref[0, _S_DESIRED_S]
+        desired_s = scal(_S_DESIRED_S)
         costs = costs + (jnp.sum((0.25 * (desired_s - s)) ** 2, axis=0,
                                  keepdims=True)
                          + (20.0 * (desired_s - s[T - 1:T, :])) ** 2)
@@ -358,9 +360,9 @@ def _scoring_body(scalars_ref, c_lon_full, c_lat_full, traj_len_row,
                      + (5.0 * jnp.abs(theta_cl[T - 1:T, :])) ** 2)
 
     # ---- corridor road-boundary check (post-enlarge states, 3 probes) -----
-    half_len = scalars_ref[0, _S_HALF_LEN]
-    half_wid = scalars_ref[0, _S_HALF_WID]
-    wb_rear = scalars_ref[0, _S_WB_REAR]
+    half_len = scal(_S_HALF_LEN)
+    half_wid = scal(_S_HALF_WID)
+    wb_rear = scal(_S_WB_REAR)
     s_center = s + wb_rear * jnp.cos(theta_cl)
     d_center = d + wb_rear * jnp.sin(theta_cl)
     lat_ext = (half_wid * jnp.abs(jnp.cos(theta_cl)) +
@@ -584,7 +586,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     else:
         obs = jnp.zeros((F, 1, T, 6), dtype)
 
-    scalars = jnp.zeros((F, _NUM_SCALARS), dtype)
+    scalars = jnp.zeros((F, 1, _NUM_SCALARS), dtype)
     veh_stack = veh_stack.astype(dtype)
     values = [
         (_S_WHEELBASE, veh_stack[:, 0]), (_S_WB_REAR, veh_stack[:, 1]),
@@ -598,7 +600,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         (_S_DESIRED_S, desired_s if desired_s is not None
          else jnp.zeros((F,), dtype))]
     for slot, value in values:
-        scalars = scalars.at[:, slot].set(jnp.asarray(value, dtype))
+        scalars = scalars.at[:, 0, slot].set(jnp.asarray(value, dtype))
 
     tables = packed_tables.astype(dtype)                         # [F, P, 12]
     tables_T = jnp.swapaxes(tables, 1, 2)                        # [F, 12, P]
@@ -613,7 +615,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _NUM_SCALARS), lambda f, i: (f, 0),
+            pl.BlockSpec((1, 1, _NUM_SCALARS), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 6, _TILE_K), lambda f, i: (f, 0, i),
                          memory_space=pltpu.VMEM),
