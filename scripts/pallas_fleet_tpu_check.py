@@ -7,6 +7,7 @@ fleet-scan throughput.  Run manually after kernel changes:
     PYTHONPATH=/root/repo:/root/.axon_site python scripts/pallas_fleet_tpu_check.py
 """
 
+import argparse
 import time
 
 import numpy as np
@@ -27,10 +28,17 @@ from commonroad_rp_tpu.utils.route import RoutePlanner
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fleet-size", type=int, default=8)
+    parser.add_argument("--level", type=int, default=2)
+    parser.add_argument("--cycles", type=int, default=20)
+    parser.add_argument("--skip-parity", action="store_true")
+    args = parser.parse_args()
+
     print("devices:", jax.devices())
     dtype = jnp.float32
     n_steps, dt = 20, 0.1
-    F = 8
+    F = args.fleet_size
 
     scenario, pp, _ = load_scenario_and_planning_problem(
         "example_scenarios/ZAM_Over-1_1.xml")
@@ -41,16 +49,17 @@ def main():
     problems = []
     for f in range(F):
         p = dict(base)
-        p["velocity"] = float(base["velocity"]) * (0.7 + 0.05 * f)
+        scale = 0.7 + 0.3 * (f % 8) / 8.0
+        p["velocity"] = float(base["velocity"]) * scale
         x0 = np.asarray(base["x0_lon"], np.float64).copy()
-        x0[1] *= (0.7 + 0.05 * f)
+        x0[1] *= scale
         p["x0_lon"] = x0
         problems.append(p)
 
-    static_grid = grid_ops.make_static_grid(2, 0.4, n_steps * dt, dt,
+    static_grid = grid_ops.make_static_grid(args.level, 0.4, n_steps * dt, dt,
                                             -3.0, 3.0, 4)
     scene, carry = fleet_ops.build_fleet_scene(problems, n_steps, dtype=dtype)
-    n_cycles = 20
+    n_cycles = args.cycles
 
     run = pallas_fleet.make_pallas_fleet_scan(
         scene, static_grid, dt, n_steps, replan_offset=3,
@@ -80,6 +89,9 @@ def main():
     print(f"fleet scan: {dt_run*1e3:.1f} ms / {n_cycles} cycles x {F} problems"
           f" ({dt_run/n_cycles*1e3:.2f} ms/cycle, K={K},"
           f" {cand/dt_run/1e6:.2f}M cand/s)")
+
+    if args.skip_parity:
+        return
 
     # bitwise parity of one fleet launch vs per-problem launches
     corr = CorridorArrays(d_lo=scene.corridor_lo, d_hi=scene.corridor_hi)
