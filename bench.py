@@ -36,6 +36,9 @@ def main():
                         help="internal: measure only the pallas scorer and "
                              "print its evals/sec (run in a watchdog "
                              "subprocess by the main bench)")
+    parser.add_argument("--pallas-fleet-probe", action="store_true",
+                        help="internal: measure only the fleet-batched pallas "
+                             "replanning scan (watchdog subprocess)")
     parser.add_argument("--pallas-timeout", type=float, default=900.0,
                         help="seconds to allow the pallas-scorer probe "
                              "(remote-compile latency is highly variable)")
@@ -105,7 +108,8 @@ def main():
                       scene.obs_valid[0], scene.corridor_lo[0],
                       scene.corridor_hi[0], scene.desired_speed[0])
 
-    if not args.pallas_probe:
+    probe_child = args.pallas_probe or args.pallas_fleet_probe
+    if not probe_child:
         # warm-up / compile
         t0 = time.time()
         out = cycle(carry, scene, carry.velocity[0])
@@ -195,28 +199,60 @@ def main():
         jax.block_until_ready(out)
         return K / ((time.time() - t_start) / reps / n_scan)
 
-    if args.pallas_probe:
+    def _measure_pallas_fleet():
+        # full replanning loop (grid gen + fused scoring + winner re-roll)
+        # for a whole fleet in one kernel launch per cycle
+        from commonroad_rp_tpu.parallel import pallas_fleet
+
+        Fp, n_cycles_p = 64, 10
+        fl_scene, fl_carry = fleet_ops.build_fleet_scene(
+            [problem] * Fp, n_steps, dtype=dtype)
+        run = pallas_fleet.make_pallas_fleet_scan(
+            fl_scene, static_grid, dt, n_steps, replan_offset=3,
+            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles_p)
+        out = run(fl_carry)
+        jax.block_until_ready(out)
+        reps = max(3, args.repeats // 20)
+        t_start = time.time()
+        for _ in range(reps):
+            out = run(fl_carry)
+        jax.block_until_ready(out)
+        return Fp * K * n_cycles_p / ((time.time() - t_start) / reps)
+
+    if args.pallas_probe or args.pallas_fleet_probe:
         try:
-            value = _measure_pallas()
-            print(f"PALLAS_EVALS_PER_SEC={value:.1f}")
+            if args.pallas_probe:
+                print(f"PALLAS_EVALS_PER_SEC={_measure_pallas():.1f}")
+            else:
+                print("PALLAS_FLEET_EVALS_PER_SEC="
+                      f"{_measure_pallas_fleet():.1f}")
         except Exception as exc:                             # noqa: BLE001
-            print(f"# pallas scorer unavailable: {type(exc).__name__}: "
+            print(f"# pallas probe unavailable: {type(exc).__name__}: "
                   f"{str(exc)[:120]}", file=sys.stderr)
         return
 
     import subprocess
-    cmd = [sys.executable, os.path.abspath(__file__), "--pallas-probe",
-           "--repeats", str(args.repeats)]
-    if args.platform:
-        cmd += ["--platform", args.platform]
-    try:
-        proc = subprocess.run(cmd, capture_output=True, text=True,
-                              timeout=args.pallas_timeout)
-        for line in proc.stdout.splitlines():
-            if line.startswith("PALLAS_EVALS_PER_SEC="):
-                pallas_evals_per_sec = float(line.split("=", 1)[1])
-    except (subprocess.TimeoutExpired, ValueError) as exc:
-        print(f"# pallas probe skipped: {type(exc).__name__}", file=sys.stderr)
+
+    pallas_fleet_evals_per_sec = None
+
+    def _run_probe(flag, key):
+        cmd = [sys.executable, os.path.abspath(__file__), flag,
+               "--repeats", str(args.repeats)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=args.pallas_timeout)
+            for line in proc.stdout.splitlines():
+                if line.startswith(key + "="):
+                    return float(line.split("=", 1)[1])
+        except (subprocess.TimeoutExpired, ValueError) as exc:
+            print(f"# {flag} skipped: {type(exc).__name__}", file=sys.stderr)
+        return None
+
+    pallas_evals_per_sec = _run_probe("--pallas-probe", "PALLAS_EVALS_PER_SEC")
+    pallas_fleet_evals_per_sec = _run_probe("--pallas-fleet-probe",
+                                            "PALLAS_FLEET_EVALS_PER_SEC")
 
     # ---- baseline: pure-numpy oracle (reference computational shape) -------
     cfg = ReactivePlannerConfiguration()
@@ -253,7 +289,8 @@ def main():
     baseline_evals_per_sec = 1.0 / baseline_time_per_cand
 
     best = max(device_evals_per_sec, fleet_evals_per_sec,
-               pallas_evals_per_sec or 0.0)
+               pallas_evals_per_sec or 0.0,
+               pallas_fleet_evals_per_sec or 0.0)
     result = {
         "metric": "candidate_evals_per_sec",
         "value": round(best, 1),
@@ -264,6 +301,9 @@ def main():
         "fleet_evals_per_sec": round(fleet_evals_per_sec, 1),
         "pallas_scorer_evals_per_sec": round(pallas_evals_per_sec, 1)
         if pallas_evals_per_sec else None,
+        "pallas_fleet_evals_per_sec": round(pallas_fleet_evals_per_sec, 1)
+        if pallas_fleet_evals_per_sec else None,
+        "pallas_fleet_config": "64 problems x 10 cycles per call",
         "fleet_config": f"{F} problems x {n_cycles} cycles per call",
         "cycle_latency_ms": round(device_time * 1e3, 3),
         "fleet_cycle_latency_ms": round(fleet_time / n_cycles * 1e3, 3),
