@@ -13,7 +13,6 @@ assembly; everything per-candidate happens in the single jitted program
 from __future__ import annotations
 
 import logging
-import math
 import time
 from typing import Dict, List, Optional, Tuple
 

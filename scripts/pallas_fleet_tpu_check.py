@@ -15,14 +15,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops import grid as grid_ops
 from commonroad_rp_tpu.ops import kinematics as kin_ops
 from commonroad_rp_tpu.ops import pallas_cycle
 from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.parallel import fleet as fleet_ops
 from commonroad_rp_tpu.parallel import pallas_fleet
-from commonroad_rp_tpu.utils.config import VehicleConfiguration
 from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
 from commonroad_rp_tpu.utils.route import RoutePlanner
 

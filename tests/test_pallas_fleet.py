@@ -9,7 +9,6 @@ import jax.numpy as jnp
 
 from commonroad_rp_tpu.ops import grid as grid_ops
 from commonroad_rp_tpu.ops import kinematics as kin_ops
-from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.parallel import fleet as fleet_ops
 from commonroad_rp_tpu.parallel import pallas_fleet
 from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
