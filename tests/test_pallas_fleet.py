@@ -118,3 +118,43 @@ def test_pallas_fleet_scan_matches_xla_fleet(repo_root):
                                np.asarray(final_x.velocity), atol=2e-3)
     np.testing.assert_allclose(np.asarray(metrics_p[1]),
                                np.asarray(metrics_x.best_cost), rtol=2e-3)
+
+
+def test_pallas_fleet_scan_dead_member_freezes(repo_root):
+    """A fleet member whose corridor admits no candidate must go not-alive on
+    cycle 1 and its carry must freeze while the rest of the fleet advances."""
+    dtype = jnp.float32
+    n_steps, dt = 20, 0.1
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    good = fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=60,
+        dtype=dtype)
+    bad = dict(good)
+    import dataclasses
+    from commonroad_rp_tpu.ops.collision import CorridorArrays
+    # collapse the drivable band to an impossible sliver
+    bad["corridor"] = CorridorArrays(
+        d_lo=jnp.full_like(good["corridor"].d_lo, 0.001),
+        d_hi=jnp.full_like(good["corridor"].d_hi, 0.002))
+
+    static_grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt,
+                                            -3.0, 3.0, 4)
+    scene, carry = fleet_ops.build_fleet_scene([good, bad], n_steps,
+                                               dtype=dtype)
+    run = pallas_fleet.make_pallas_fleet_scan(
+        scene, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=3,
+        interpret=True)
+    final, metrics = run(carry)
+
+    found = np.asarray(metrics[0])                   # [cycles, F]
+    assert found[:, 0].all(), "healthy member should keep planning"
+    assert not found[:, 1].any(), "squeezed member cannot plan"
+    assert bool(final.alive[0]) and not bool(final.alive[1])
+    np.testing.assert_allclose(np.asarray(final.x0_lon[1]),
+                               np.asarray(carry.x0_lon[1]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(final.time_step[1]),
+                                  np.asarray(carry.time_step[1]))
+    assert float(final.x0_lon[0, 0]) > float(carry.x0_lon[0, 0])
