@@ -13,6 +13,7 @@ use this when one chip serves one vehicle at minimum latency.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -128,7 +129,8 @@ def make_pallas_replanning_scan(ref: RefPathTables,
 def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                            dt: float, n_steps: int, replan_offset: int,
                            low_vel_threshold: float, horizon: float,
-                           n_cycles: int, interpret: bool = False):
+                           n_cycles: int, interpret: bool = False,
+                           mesh=None):
     """Fleet replanning scan on the fused Pallas scorer (one chip, F problems).
 
     Takes a :class:`parallel.fleet.FleetScene` (stacked per-problem tables)
@@ -139,7 +141,15 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
 
     Complements :func:`make_pallas_replanning_scan` (single problem) and
     ``parallel.fleet.make_fleet_rollout`` (XLA path, shard_map over chips).
+
+    With ``mesh`` (a 1-D fleet mesh from ``parallel.mesh.make_fleet_mesh``)
+    the whole scan runs under ``shard_map`` over the fleet axis: each chip
+    launches the fused kernel for its F/n_devices problems and the per-cycle
+    fleet aggregates (success count, mean cost) ride ICI ``psum``.
     """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from commonroad_rp_tpu.parallel.mesh import FLEET_AXIS
     from commonroad_rp_tpu.ops.collision import CorridorArrays as _Corr
 
     dtype = jnp.float32
@@ -157,7 +167,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
 
     t_full = scene.obs_pose.shape[2]
 
-    def cycle(carry, _):
+    def cycle(carry, _, *, scene, packed, ref_s_last, veh_stack):
         F = carry.x0_lon.shape[0]
         v_min = jnp.maximum(0.0, carry.velocity
                             - 0.125 * horizon * scene.veh.a_max)
@@ -222,12 +232,46 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             time_step=jnp.where(step_alive, carry.time_step + r,
                                 carry.time_step),
             alive=step_alive)
+        n_success = jnp.sum(found.astype(jnp.int32))
+        cost_sum = jnp.sum(jnp.where(found, best_cost, 0.0))
+        n_found = jnp.maximum(jnp.sum(found.astype(jnp.int32)), 1)
+        if mesh is not None:
+            n_success = jax.lax.psum(n_success, FLEET_AXIS)
+            cost_sum = jax.lax.psum(cost_sum, FLEET_AXIS)
+            n_found = jnp.maximum(
+                jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS), 1)
         metrics = (found, best_cost, pick(rollout.x), pick(rollout.y),
-                   jnp.sum(found), jnp.mean(jnp.where(found, best_cost, 0.0)))
+                   n_success, cost_sum / n_found)
         return new_carry, metrics
 
-    raw = jax.jit(lambda carry: jax.lax.scan(cycle, carry, None,
-                                             length=n_cycles))
+    def local_scan(carry, scene, packed, ref_s_last, veh_stack):
+        body = functools.partial(cycle, scene=scene, packed=packed,
+                                 ref_s_last=ref_s_last, veh_stack=veh_stack)
+        return jax.lax.scan(body, carry, None, length=n_cycles)
+
+    if mesh is None:
+        raw = jax.jit(lambda carry: local_scan(carry, scene, packed,
+                                               ref_s_last, veh_stack))
+    else:
+        f = P(FLEET_AXIS)
+        from commonroad_rp_tpu.parallel.fleet import FleetCarry, FleetScene
+        from commonroad_rp_tpu.ops import frenet as frenet_ops
+        carry_spec = FleetCarry(*([f] * 6))
+        scene_spec = FleetScene(
+            ref=frenet_ops.RefPathTables(*([f] * 8)),
+            obs_pose=f, obs_half=f, obs_valid=f, corridor_lo=f,
+            corridor_hi=f, desired_speed=f,
+            veh=kin_ops.VehicleArrays(*([f] * 8)))
+        metrics_spec = (P(None, FLEET_AXIS), P(None, FLEET_AXIS),
+                        P(None, FLEET_AXIS), P(None, FLEET_AXIS), P(None),
+                        P(None))
+        sharded = shard_map(
+            local_scan, mesh=mesh,
+            in_specs=(carry_spec, scene_spec, f, f, f),
+            out_specs=(carry_spec, metrics_spec),
+            check_rep=False)
+        raw = jax.jit(lambda carry: sharded(carry, scene, packed,
+                                            ref_s_last, veh_stack))
 
     def run(carry):
         # x64-off must wrap the CALL (Mosaic rejects 64-bit layouts and the

@@ -158,3 +158,55 @@ def test_pallas_fleet_scan_dead_member_freezes(repo_root):
     np.testing.assert_array_equal(np.asarray(final.time_step[1]),
                                   np.asarray(carry.time_step[1]))
     assert float(final.x0_lon[0, 0]) > float(carry.x0_lon[0, 0])
+
+
+def test_pallas_fleet_scan_sharded_over_mesh(repo_root):
+    """The mesh-sharded pallas fleet scan (shard_map over the fleet axis,
+    psum aggregates) must match the unsharded scan on an 8-member fleet
+    spread over the 8-device CPU mesh."""
+    dtype = jnp.float32
+    n_steps, dt = 20, 0.1
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    base = fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=60,
+        dtype=dtype)
+    problems = []
+    for f in range(8):
+        p = dict(base)
+        p["velocity"] = float(base["velocity"]) * (0.8 + 0.025 * f)
+        x0 = np.asarray(base["x0_lon"], np.float64).copy()
+        x0[1] *= (0.8 + 0.025 * f)
+        p["x0_lon"] = x0
+        problems.append(p)
+
+    static_grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt,
+                                            -3.0, 3.0, 4)
+    scene, carry = fleet_ops.build_fleet_scene(problems, n_steps, dtype=dtype)
+    n_cycles = 3
+
+    run_local = pallas_fleet.make_pallas_fleet_scan(
+        scene, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles,
+        interpret=True)
+    final_l, metrics_l = run_local(carry)
+
+    mesh = make_fleet_mesh(8)
+    run_sharded = pallas_fleet.make_pallas_fleet_scan(
+        scene, static_grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles,
+        interpret=True, mesh=mesh)
+    final_s, metrics_s = run_sharded(carry)
+
+    # f32: per-shard launch shapes regroup a few reductions -> ~3e-6 noise
+    np.testing.assert_allclose(np.asarray(final_s.x0_lon),
+                               np.asarray(final_l.x0_lon), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(metrics_s[0]),
+                                  np.asarray(metrics_l[0]))
+    # psum'd aggregates equal the global reductions
+    np.testing.assert_array_equal(np.asarray(metrics_s[4]),
+                                  np.asarray(metrics_l[4]))
+    np.testing.assert_allclose(np.asarray(metrics_s[5]),
+                               np.asarray(metrics_l[5]), rtol=1e-5)
