@@ -97,18 +97,63 @@ def interp_index(ref: RefPathTables, s: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(s >= ref.s[-1], jnp.int32(-1), idx)
 
 
+def split3_bf16(x: jnp.ndarray):
+    """Exact 3-term bfloat16 decomposition of a float32 array.
+
+    ``t0 + t1 + t2 == x`` bit-exactly, including under float32 summation in
+    any order: each term is produced by TRUNCATING the float32 bit pattern
+    (masking the low 16 bits), so every term's significand bits are a disjoint
+    subset of ``x``'s 24-bit significand window — partial sums are therefore
+    exactly representable and no addition rounds.  (A round-to-nearest split
+    does NOT have this property: when a residual's exponent drops far below
+    the leading term, the reconstruction sum can span more than 24 bits and
+    round.)  Exactness holds for zero and all normal floats; only inputs
+    within ~2^-23 of the float32 subnormal floor can underflow the bf16 tail
+    term — far outside any physical planner quantity.
+
+    Used to run one-hot gather matmuls as three native bf16 MXU passes instead
+    of a 6-pass ``Precision.HIGHEST`` float32 matmul: with an exactly-
+    representable 0/1 one-hot operand, each pass selects one term exactly and
+    the 3-term f32 accumulation reconstructs the gathered value bit-for-bit.
+    """
+    x = x.astype(jnp.float32)
+    mask = jnp.uint32(0xFFFF0000)
+    trunc = lambda v: jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(v, jnp.uint32) & mask, jnp.float32)
+    hi0 = trunc(x)
+    r1 = x - hi0
+    hi1 = trunc(r1)
+    r2 = r1 - hi1
+    return (hi0.astype(jnp.bfloat16), hi1.astype(jnp.bfloat16),
+            r2.astype(jnp.bfloat16))
+
+
 def onehot_lookup(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Gather rows of [P, C] ``tables`` at (already wrapped) indices via a
     one-hot masked reduction — exact (single nonzero term per output) and
-    TPU-friendly (no serialized gather).  Shapes: idx [...]; out [..., C]."""
+    TPU-friendly (no serialized gather).  Shapes: idx [...]; out [..., C].
+
+    float32 tables take the exact 3-term bfloat16 split path: the one-hot is
+    exactly representable in bf16, each bf16 term's dot selects a single value
+    with f32 accumulation, and the three terms reconstruct the full float32
+    mantissa — bit-identical to a HIGHEST-precision f32 matmul at half the
+    physical MXU passes (3 native bf16 passes vs 6)."""
     P = tables.shape[0]
     flat = idx.reshape(-1)
     iota = jax.lax.broadcasted_iota(jnp.int32, (flat.shape[0], P), 1)
-    onehot = (iota == flat[:, None]).astype(tables.dtype)
-    vals = jax.lax.dot_general(
-        onehot, tables, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=tables.dtype)
+    if tables.dtype == jnp.float32:
+        onehot = (iota == flat[:, None]).astype(jnp.bfloat16)
+        dot = lambda tab: jax.lax.dot_general(
+            onehot, tab, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t0, t1, t2 = split3_bf16(tables)
+        vals = (dot(t0) + dot(t1)) + dot(t2)
+    else:
+        onehot = (iota == flat[:, None]).astype(tables.dtype)
+        vals = jax.lax.dot_general(
+            onehot, tables, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=tables.dtype)
     return vals.reshape(idx.shape + (tables.shape[1],))
 
 
@@ -133,8 +178,11 @@ def lookup_interp_values(ref: RefPathTables, idx: jnp.ndarray) -> InterpValues:
     packed = jnp.stack([ref.s, ref.theta, ref.curv, ref.curv_d], axis=1)
     packed_next = jnp.concatenate([packed[1:], packed[:1]], axis=0)
     if jax.default_backend() == "tpu":
-        lo = onehot_lookup(packed, idx_mod)
-        hi = onehot_lookup(packed_next, idx_mod)
+        # one fused 8-column lookup: the MXU pads the column axis to the
+        # 128-lane tile, so lo+hi in one matmul costs the same as lo alone
+        pair = onehot_lookup(jnp.concatenate([packed, packed_next], axis=1),
+                             idx_mod)
+        lo, hi = pair[..., :4], pair[..., 4:]
     else:
         lo = jnp.take(packed, idx_mod, axis=0)
         hi = jnp.take(packed_next, idx_mod, axis=0)

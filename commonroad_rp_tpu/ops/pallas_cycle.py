@@ -91,59 +91,75 @@ def _atan(x):
     return sign * (y0 + poly)
 
 
-def _lookup_lo(s_chunk, s_col, table_T, P):
-    """lo-row-only variant of _lookup (corridor probes need only d_lo/d_hi;
-    skipping the next-row matmul halves the probe gather work)."""
-    le = (s_col <= s_chunk).astype(jnp.float32)
-    idx = jnp.sum(le, axis=0, keepdims=True).astype(jnp.int32) - 1
-    idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
-    iota = jax.lax.broadcasted_iota(jnp.int32, le.shape, 0)
-    onehot = (iota == idx_mod).astype(jnp.float32)
-    return jax.lax.dot_general(
-        table_T, onehot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32)
+_PAIR_ROWS = 16  # 12 lo columns + 4 hi interpolation columns (s/θ/κ/κ')
+
+# exact truncation-based f32 -> 3x bf16 split (see frenet.split3_bf16)
+split3_bf16 = frenet_ops.split3_bf16
 
 
-def _lookup(s_chunk, s_col, table_T, table_next_T, P):
-    """One-chunk table gather, strictly 2-D (Mosaic layout discipline).
-
-    s_chunk: [1, TILE] query arclengths; s_col: [P, 1] table arclengths;
-    table_T / table_next_T: [12, P].  Returns (vals_lo, vals_hi) each
-    [12, TILE]: table rows at idx = count(s_vertex <= s) - 1 (with the
-    reference's wrap-to-last for idx == -1) and at idx + 1, fetched as
-    one-hot MXU matmuls.
-    """
+def _onehot_at(s_chunk, s_col, P, dtype):
+    """[P, TILE] one-hot of idx = count(s_vertex <= s) - 1 (wrap for -1)."""
     le = (s_col <= s_chunk).astype(jnp.float32)                  # [P, TILE]
     idx = jnp.sum(le, axis=0, keepdims=True).astype(jnp.int32) - 1   # [1, TILE]
     idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
     iota = jax.lax.broadcasted_iota(jnp.int32, le.shape, 0)
-    onehot = (iota == idx_mod).astype(jnp.float32)               # [P, TILE]
-    dot = lambda tab_T: jax.lax.dot_general(
-        tab_T, onehot, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+    return (iota == idx_mod).astype(dtype)                       # [P, TILE]
+
+
+def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2, P):
+    """One-chunk table gather, strictly 2-D (Mosaic layout discipline).
+
+    s_chunk: [1, TILE] query arclengths; s_col: [P, 1] table arclengths;
+    pair_t{0,1,2}: [16, P] exact bf16 split (``split3_bf16``) of the packed
+    lo-row table (12 cols) stacked with the hi-row interpolation columns
+    (s/θ/κ/κ', 4 cols).  Returns [16, TILE] float32 rows at
+    idx = count(s_vertex <= s) - 1 (reference wrap-to-last for idx == -1) —
+    rows 0..11 are the lo columns, rows 12..15 the hi interpolation columns.
+
+    Exact: the one-hot is 0/1 (exact in bf16), each bf16 dot selects one term
+    with f32 accumulation, and the 3-term sum reconstructs float32 exactly,
+    matching the XLA path's HIGHEST-precision one-hot gather bit-for-bit at
+    half the physical MXU passes (3 vs 6) and one matmul per step instead of
+    two (the 128-row MXU tile makes the extra 4 hi rows free).
+    """
+    onehot = _onehot_at(s_chunk, s_col, P, jnp.bfloat16)
+    dot = lambda tab: jax.lax.dot_general(
+        tab, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    return dot(table_T), dot(table_next_T)
+    return (dot(pair_t0) + dot(pair_t1)) + dot(pair_t2)
+
+
+def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col, P):
+    """Corridor-band gather on the VPU: (d_lo, d_hi) each [1, TILE] at the
+    probe arclength's table row.  A broadcast-multiply-reduce against the
+    [P, 1] band columns — exact (0/1 mask, single nonzero per column) and
+    much cheaper than an MXU one-hot matmul whose 2 useful rows would be
+    padded to the 128-row tile."""
+    onehot = _onehot_at(s_chunk, s_col, P, jnp.float32)
+    d_lo = jnp.sum(onehot * d_lo_col, axis=0, keepdims=True)
+    d_hi = jnp.sum(onehot * d_hi_col, axis=0, keepdims=True)
+    return d_lo, d_hi
 
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
-                    goal_valid_ref, table_ref, table_t_ref, table_next_t_ref,
-                    obs_ref, cost_ref,
+                    goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
+                    pair_t2_ref, obs_ref, cost_ref,
                     *, n_steps: int, n_obstacles: int, p_rows: int,
                     check_flags: tuple, has_desired_s: bool = False):
     """Single-problem kernel shell."""
     cost_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
-        goal_valid_ref[:], table_ref[:], table_t_ref[:], table_next_t_ref[:],
+        goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
+        pair_t2_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
-                          traj_len_ref, goal_valid_ref, table_ref, table_t_ref,
-                          table_next_t_ref, obs_ref, cost_ref,
+                          traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
+                          pair_t1_ref, pair_t2_ref, obs_ref, cost_ref,
                           *, n_steps: int, n_obstacles: int, p_rows: int,
                           check_flags: tuple, has_desired_s: bool = False):
     """Fleet kernel shell: every ref carries a leading per-problem block axis
@@ -151,14 +167,15 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
     cost_ref[0] = _scoring_body(
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
-        goal_valid_ref[0], table_ref[0], table_t_ref[0], table_next_t_ref[0],
+        goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
+        pair_t2_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
-                  goal_valid_row, table, table_T, table_next_T, obs_ref,
+                  goal_valid_row, table, pair_t0, pair_t1, pair_t2, obs_ref,
                   obs_col, *, n_steps: int, n_obstacles: int, p_rows: int,
                   check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
@@ -211,16 +228,18 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                    jnp.any(s_dot < -_EPS, axis=0, keepdims=True))  # [1, TILE]
 
     # ---- table gathers per time chunk (MXU one-hot), strictly 2-D --------
+    # one [16, P] x [P, TILE] matmul per step (exact 3-term bf16 split):
+    # rows 0..11 = lo columns, 12..15 = hi interpolation columns
     s_col = table[:, 0:1]                                   # [P, 1]
     lo_cols = [[] for _ in range(_NUM_COLS)]
     hi_cols = [[] for _ in range(4)]
     for c in range(T):                                      # static, small T
-        vals_lo, vals_hi = _lookup(s[c:c + 1, :], s_col, table_T,
-                                   table_next_T, p_rows)    # [12, TILE]
+        vals = _lookup_pair(s[c:c + 1, :], s_col, pair_t0, pair_t1,
+                            pair_t2, p_rows)                # [16, TILE]
         for col in range(_NUM_COLS):
-            lo_cols[col].append(vals_lo[col:col + 1, :])
+            lo_cols[col].append(vals[col:col + 1, :])
         for col in range(4):
-            hi_cols[col].append(vals_hi[col:col + 1, :])
+            hi_cols[col].append(vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
     cat = lambda rows: jnp.concatenate(rows, axis=0)        # [T, TILE]
     lo_s, lo_theta, lo_curv, lo_curv_d = (cat(lo_cols[i]) for i in range(4))
     hi_s, hi_theta, hi_curv, hi_curv_d = (cat(hi_cols[i]) for i in range(4))
@@ -370,16 +389,19 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
+    d_lo_col = table[:, 4:5]                                # [P, 1]
+    d_hi_col = table[:, 5:6]
     for offset in (-1.0, 0.0, 1.0):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
-            vals_lo = _lookup_lo(s_probe[c:c + 1, :], s_col, table_T, p_rows)
+            band_lo, band_hi = _probe_band(s_probe[c:c + 1, :], s_col,
+                                           d_lo_col, d_hi_col, p_rows)
             row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
-                         > vals_lo[5:6, :]) |
+                         > band_hi) |
                         (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
-                         < vals_lo[4:5, :]))
+                         < band_lo))
             collides = collides | row_viol
     # ---- obstacle OBB SAT (ego center poses vs obstacle table) ------------
     e_theta = theta_gl
@@ -484,8 +506,9 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 
     table = packed_table.astype(dtype)
-    table_T = table.T
-    table_next_T = jnp.concatenate([table[1:], table[:1]], axis=0).T
+    table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
+    pair_T = jnp.concatenate([table.T, table_next[:, :4].T], axis=0)  # [16, P]
+    pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
 
     grid = (K_pad // _TILE_K,)
     out = pl.pallas_call(
@@ -507,9 +530,11 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NUM_COLS, P), lambda i: (0, 0),
+            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_NUM_COLS, P), lambda i: (0, 0),
+            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(M, 1), T, 6), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -517,7 +542,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         out_specs=pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, table, table_T, table_next_T, obs)
+    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs)
     return out[0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """Masked candidate costs [F, K] for a fleet of planning problems.
@@ -603,9 +628,11 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         scalars = scalars.at[:, 0, slot].set(jnp.asarray(value, dtype))
 
     tables = packed_tables.astype(dtype)                         # [F, P, 12]
-    tables_T = jnp.swapaxes(tables, 1, 2)                        # [F, 12, P]
-    tables_next_T = jnp.swapaxes(
-        jnp.concatenate([tables[:, 1:], tables[:, :1]], axis=1), 1, 2)
+    tables_next = jnp.concatenate([tables[:, 1:], tables[:, :1]], axis=1)
+    pair_T = jnp.concatenate(
+        [jnp.swapaxes(tables, 1, 2),
+         jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
+    pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
 
     grid = (F, K_pad // _TILE_K)
     out = pl.pallas_call(
@@ -627,9 +654,11 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, _NUM_COLS), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _NUM_COLS, P), lambda f, i: (f, 0, 0),
+            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _NUM_COLS, P), lambda f, i: (f, 0, 0),
+            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max(M, 1), T, 6), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -637,7 +666,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         out_specs=pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, tables, tables_T, tables_next_T, obs)
+    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs)
     return out[:, 0, :K]
 
 
