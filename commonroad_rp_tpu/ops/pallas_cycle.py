@@ -98,12 +98,18 @@ split3_bf16 = frenet_ops.split3_bf16
 
 
 def _onehot_at(s_chunk, s_col, P, dtype):
-    """[P, TILE] one-hot of idx = count(s_vertex <= s) - 1 (wrap for -1)."""
-    le = (s_col <= s_chunk).astype(jnp.float32)                  # [P, TILE]
-    idx = jnp.sum(le, axis=0, keepdims=True).astype(jnp.int32) - 1   # [1, TILE]
-    idx_mod = jax.lax.rem(idx + jnp.int32(P), jnp.int32(P))
-    iota = jax.lax.broadcasted_iota(jnp.int32, le.shape, 0)
-    return (iota == idx_mod).astype(dtype)                       # [P, TILE]
+    """[P, TILE] one-hot of idx = count(s_vertex <= s) - 1, built as the
+    containing-interval test s_col[p] <= s < s_col[p+1] (successor column
+    shifted; the table's arclengths are strictly increasing, incl. the
+    monotone sentinel padding).  Two compares + AND instead of the
+    count/iota/equality construction — cheaper on the VPU and identical for
+    every in-domain query.  Divergence from the reference's idx == -1
+    wrap-to-last only occurs for s < 0, where the row is all-zero instead:
+    such candidates are domain-masked to +inf cost on every path, so masked
+    costs (the kernel's only output) are unaffected."""
+    s_next_col = jnp.concatenate(
+        [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)  # [P, 1]
+    return ((s_col <= s_chunk) & (s_next_col > s_chunk)).astype(dtype)
 
 
 def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2, P):
@@ -134,8 +140,9 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col, P):
     probe arclength's table row.  A broadcast-multiply-reduce against the
     [P, 1] band columns — exact (0/1 mask, single nonzero per column) and
     much cheaper than an MXU one-hot matmul whose 2 useful rows would be
-    padded to the 128-row tile."""
-    onehot = _onehot_at(s_chunk, s_col, P, jnp.float32)
+    padded to the 128-row tile.  Probe arclengths are clamped into
+    [0, ref_s_last], so ``_onehot_at``'s interval test always hits a row."""
+    onehot = _onehot_at(s_chunk, s_col, s_col.shape[0], jnp.float32)
     d_lo = jnp.sum(onehot * d_lo_col, axis=0, keepdims=True)
     d_hi = jnp.sum(onehot * d_hi_col, axis=0, keepdims=True)
     return d_lo, d_hi
