@@ -32,7 +32,7 @@ from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
 
-_TILE_K = 512
+_TILE_K = 256
 _LANE = 128
 _NUM_COLS = 12
 
