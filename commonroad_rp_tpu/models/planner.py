@@ -503,6 +503,18 @@ class ReactivePlanner:
                 getattr(cf, "desired_speed", None) or 0.0, dtype),
             desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
 
+        # opt-in Pallas fast path (config.debug.fast_scoring) within the
+        # fused kernel's scope; anything outside it falls through to the
+        # XLA conformance program below
+        if (self.config.debug.fast_scoring
+                and not self._draw_traj_set
+                and not self.config.planning.continuous_collision_check
+                and boundary_mode in ("corridor", "none")
+                and cf.structure[0] == "default" and cf.structure[1]):
+            return self._get_optimal_trajectory_fast(
+                batch, goal_valid, veh, obstacles, corridor, flags,
+                cost_params)
+
         t0 = time.time()
         result = cycle_ops.evaluate_level(
             jnp.asarray(batch.coeffs_lon, dtype), jnp.asarray(batch.coeffs_lat, dtype),
@@ -559,6 +571,69 @@ class ReactivePlanner:
                                     dt=self.dt, horizon=self.horizon)
         logger.debug("Selected candidate %d with cost %.3f", int(scalars[0]),
                      optimal.cost)
+        return optimal, bundle_stats
+
+    def _get_optimal_trajectory_fast(self, batch: CandidateBatch, goal_valid,
+                                     veh, obstacles, corridor, flags,
+                                     cost_params):
+        """Level evaluation on the fused Pallas scorer
+        (``config.debug.fast_scoring``).
+
+        Candidate states stay in VMEM — only two [K] cost rows and the
+        winner's [14, T] pack leave the device.  Rejection counters are
+        exact (reconstructed from the cost rows with the reference's
+        lazy-iteration semantics); the per-constraint reason dict is
+        unavailable, the same statistics loss the reference exhibits in
+        multiprocessing mode (reactive_planner.py:962-967).
+        """
+        import jax
+
+        dtype = jnp.float32
+        if corridor is None:
+            # no road boundary: unbounded drivable bands
+            P = int(np.asarray(self._co.tables.s).shape[0])
+            corridor = collision_ops.CorridorArrays(
+                d_lo=jnp.full((P,), -1e9, dtype),
+                d_hi=jnp.full((P,), 1e9, dtype))
+
+        t0 = time.time()
+        result = cycle_ops.evaluate_level_fast(
+            jnp.asarray(batch.coeffs_lon, dtype),
+            jnp.asarray(batch.coeffs_lat, dtype),
+            jnp.asarray(batch.traj_len), jnp.asarray(goal_valid),
+            self._co.tables, veh, obstacles, corridor,
+            jnp.asarray(self.x_0.orientation, dtype), cost_params,
+            dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
+            cost_structure=self.cost_function.structure,
+            constraint_flags=flags,
+            interpret=jax.default_backend() != "tpu")
+        found = bool(result.found)
+        scalars = np.asarray(result.scalars)
+        self.stage_timers.record("device_cycle", time.time() - t0)
+        logger.debug("Device cycle evaluation (fast path) took \t%.7fs",
+                     time.time() - t0)
+
+        self._infeasible_count_kinematics = int(scalars[2])
+        self._infeasible_count_collision = int(scalars[3])
+        self._pending_reason_stats = None   # reason dict lost on fast path
+
+        bundle_stats = None
+        if logger.isEnabledFor(logging.DEBUG):
+            kin_costs = np.asarray(result.kin_costs)
+            feas_costs = kin_costs[np.isfinite(kin_costs)]
+            bundle_stats = {
+                "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
+                "cost_span": float(feas_costs.max() - feas_costs.min())
+                if feas_costs.size else 0.0,
+            }
+        if not found:
+            return None, bundle_stats
+
+        arrays = cycle_ops.unpack_candidate(result.optimal)
+        optimal = OptimalTrajectory(arrays=arrays, cost=float(scalars[1]),
+                                    dt=self.dt, horizon=self.horizon)
+        logger.debug("Selected candidate %d with cost %.3f (fast path)",
+                     int(scalars[0]), optimal.cost)
         return optimal, bundle_stats
 
     def _vehicle_arrays(self) -> kin_ops.VehicleArrays:

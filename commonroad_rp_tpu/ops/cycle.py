@@ -170,3 +170,119 @@ def unpack_candidate(packed) -> dict:
 
     arr = np.asarray(packed)
     return {name: arr[i] for i, name in enumerate(CANDIDATE_FIELDS)}
+
+
+class FastLevelResult(NamedTuple):
+    """Output of the Pallas fast-path level evaluation (facade opt-in).
+
+    Same host contract as :class:`LevelResult` minus the per-constraint
+    reason masks and dense state arrays — the trade the reference itself
+    makes in multiprocessing mode, where the per-reason dict is silently
+    lost in the worker processes (reactive_planner.py:962-967; SURVEY.md
+    section 5).  The rejection COUNTERS stay exact: they are reconstructed
+    from the kernel's two cost rows with the same lazy-iteration semantics
+    as :func:`evaluate_level`.
+    """
+
+    found: jnp.ndarray            # scalar bool
+    scalars: jnp.ndarray          # [4] f32: best_idx, best_cost, n_inf_kin, n_coll
+    costs: jnp.ndarray            # [K] masked costs (+inf infeasible/colliding)
+    kin_costs: jnp.ndarray        # [K] kinematic-feasible raw costs
+    optimal: jnp.ndarray          # [14, T] best candidate (CANDIDATE_FIELDS)
+
+
+def evaluate_level_fast(*args, **kwargs) -> FastLevelResult:
+    """x64-off wrapper (Mosaic rejects 64-bit layouts; the library enables
+    x64 globally for the conformance path)."""
+    with jax.enable_x64(False):
+        return _evaluate_level_fast(*args, **kwargs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dt", "n_steps", "low_vel_mode", "cost_structure",
+                     "constraint_flags", "interpret"))
+def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
+                         coeffs_lat: jnp.ndarray,
+                         traj_len: jnp.ndarray,
+                         goal_valid: jnp.ndarray,
+                         ref: frenet_ops.RefPathTables,
+                         veh: kinematics.VehicleArrays,
+                         obstacles: collision_ops.ObstacleArrays,
+                         corridor: collision_ops.CorridorArrays,
+                         x0_orientation: jnp.ndarray,
+                         cost_params: CostParams,
+                         *,
+                         dt: float,
+                         n_steps: int,
+                         low_vel_mode: bool,
+                         cost_structure: tuple,
+                         constraint_flags: tuple,
+                         interpret: bool = False) -> FastLevelResult:
+    """One sampling level on the fused Pallas scorer + a K=1 winner re-roll.
+
+    Facade fast path (``config.debug.fast_scoring``): candidate states stay
+    in VMEM; only two [K] cost rows and the winner's [14, T] pack leave the
+    device.  Supported scope (the facade falls back to
+    :func:`evaluate_level` otherwise): float32, 'default' cost structure
+    with a velocity target, corridor or no road boundary, discrete
+    collision, no trajectory-set capture.
+    """
+    from commonroad_rp_tpu.ops import pallas_cycle
+
+    dtype = jnp.float32
+    kind, has_speed, has_s = cost_structure
+    assert kind == "default" and has_speed, \
+        "fast path supports the default cost structure with a speed target"
+    f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
+    ref = f32(ref)
+    veh = f32(veh)
+    obstacles = collision_ops.ObstacleArrays(
+        pose=jnp.asarray(obstacles.pose, dtype),
+        half_ext=jnp.asarray(obstacles.half_ext, dtype),
+        valid=jnp.asarray(obstacles.valid, bool))
+    corridor = f32(corridor)
+    coeffs_lon = jnp.asarray(coeffs_lon, dtype)
+    coeffs_lat = jnp.asarray(coeffs_lat, dtype)
+    traj_len = jnp.asarray(traj_len)      # integer; the scorer casts internally
+
+    packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    ref_s_last = pallas_cycle.true_path_length(ref)
+    masked, kin = pallas_cycle._score_candidates_pallas(
+        coeffs_lon, coeffs_lat, traj_len, goal_valid, packed, obstacles, veh,
+        jnp.asarray(x0_orientation, dtype), dtype(dt),
+        jnp.asarray(low_vel_mode),
+        jnp.asarray(cost_params.desired_speed, dtype),
+        jnp.asarray(cost_params.desired_d, dtype),
+        jnp.asarray(cost_params.w_a, dtype), ref_s_last,
+        jnp.asarray(cost_params.desired_s, dtype) if has_s else None,
+        n_steps=n_steps, check_flags=constraint_flags, interpret=interpret)
+
+    best_idx = jnp.argmin(masked).astype(jnp.int32)
+    best_cost = masked[best_idx]
+    found = jnp.isfinite(best_cost)
+
+    # statistics from the two cost rows (same semantics as evaluate_level):
+    # goal-filtered candidates never enter the kinematic check, and the
+    # collision counter follows the reference's lazy sorted iteration
+    kin_inf = jnp.isinf(kin)
+    n_inf_kin = jnp.sum(goal_valid & kin_inf).astype(jnp.int32)
+    colliding = ~kin_inf & jnp.isinf(masked)
+    n_coll = jnp.where(found,
+                       jnp.sum(colliding & (kin < best_cost)),
+                       jnp.sum(colliding)).astype(jnp.int32)
+    scalars = jnp.stack([best_idx.astype(dtype), best_cost,
+                         n_inf_kin.astype(dtype), n_coll.astype(dtype)])
+
+    # winner re-roll (K = 1) for the [14, T] candidate pack
+    cv, ca, ck, ckd, cy = constraint_flags
+    ro = kinematics.rollout(
+        coeffs_lon[best_idx][None, :], coeffs_lat[best_idx][None, :],
+        traj_len[best_idx][None], ref, veh, jnp.asarray(x0_orientation, dtype),
+        dt, n_steps, low_vel_mode,
+        check_velocity=cv, check_acceleration=ca, check_kappa=ck,
+        check_kappa_dot=ckd, check_yaw_rate=cy)
+    optimal = jnp.stack([getattr(ro, f)[0] for f in CANDIDATE_FIELDS])
+
+    return FastLevelResult(found=found, scalars=scalars, costs=masked,
+                           kin_costs=kin, optimal=optimal)

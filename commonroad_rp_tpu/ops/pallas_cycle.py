@@ -6,11 +6,12 @@ recomputed afterwards for a single candidate).  This kernel fuses polynomial
 rollout, the Werling transform (with MXU one-hot table gathers), the
 kinematic constraint masks, Frenet->Cartesian conversion, the cost
 reduction, the corridor road-boundary check, and the obstacle OBB SAT into
-ONE VMEM-resident program per candidate tile, emitting a single [K]
-masked-cost row — candidate states never touch HBM.
+ONE VMEM-resident program per candidate tile, emitting two [K] rows (masked
+selection costs + kinematic-feasible statistics costs) — candidate states
+never touch HBM.
 
-Scope: fleet-path scoring (no per-constraint reason statistics — the facade's
-conformance path keeps the XLA kernels).  float32 only; do not trace under
+Scope: fleet-path and facade fast-path scoring (no per-constraint reason
+statistics — the facade's conformance path keeps the XLA kernels).  float32 only; do not trace under
 x64 values.  Layout: T-major ([T, TILE_K]) like ops.kinematics.
 
 Packed reference-table columns (``pack_ref_tables``):
@@ -106,7 +107,7 @@ def _onehot_at(s_chunk, s_col, P, dtype):
     every in-domain query.  Divergence from the reference's idx == -1
     wrap-to-last only occurs for s < 0, where the row is all-zero instead:
     such candidates are domain-masked to +inf cost on every path, so masked
-    costs (the kernel's only output) are unaffected."""
+    costs (the kernel outputs) are unaffected."""
     s_next_col = jnp.concatenate(
         [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)  # [P, 1]
     return ((s_col <= s_chunk) & (s_next_col > s_chunk)).astype(dtype)
@@ -150,11 +151,11 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col, P):
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
-                    pair_t2_ref, obs_ref, cost_ref,
+                    pair_t2_ref, obs_ref, cost_ref, kin_cost_ref,
                     *, n_steps: int, n_obstacles: int, p_rows: int,
                     check_flags: tuple, has_desired_s: bool = False):
     """Single-problem kernel shell."""
-    cost_ref[:] = _scoring_body(
+    cost_ref[:], kin_cost_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
@@ -167,11 +168,12 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
                           pair_t1_ref, pair_t2_ref, obs_ref, cost_ref,
+                          kin_cost_ref,
                           *, n_steps: int, n_obstacles: int, p_rows: int,
                           check_flags: tuple, has_desired_s: bool = False):
     """Fleet kernel shell: every ref carries a leading per-problem block axis
     of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
-    cost_ref[0] = _scoring_body(
+    cost_ref[0], kin_cost_ref[0] = _scoring_body(
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
         goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
@@ -440,11 +442,17 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                      ohw + half_len * rel_sin + half_wid * rel_cos)
         collides = collides | jnp.any(valid & ~sep, axis=0, keepdims=True)
 
-    return jnp.where(feasible & ~collides, costs, jnp.float32(np.inf))
+    # two [1, TILE] rows: masked cost (the selection row) and the
+    # kinematic-feasible raw cost (statistics row — lets the facade fast path
+    # reconstruct the reference's rejection counters incl. the
+    # lazy-iteration collision count, without the [K, T] state arrays)
+    inf = jnp.float32(np.inf)
+    return (jnp.where(feasible & ~collides, costs, inf),
+            jnp.where(feasible, costs, inf))
 
 
 def score_candidates_pallas(*args, **kwargs):
-    """Masked candidate costs [K] from the fused VMEM scoring kernel.
+    """(masked_costs [K], kin_costs [K]) from the fused VMEM scoring kernel.
 
     Wrapper that disables x64 for the trace — Mosaic rejects 64-bit layouts
     and the library enables x64 globally for the conformance path.
@@ -466,11 +474,17 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False) -> jnp.ndarray:
-    """Masked candidate costs [K] from the fused VMEM scoring kernel.
+    """(masked_costs, kin_costs) each [K] from the fused VMEM scoring kernel.
 
-    Equivalent (for velocity-keeping fleet scoring) of
-    rollout + default_cost + check_corridor + check_collisions with
-    infeasible/colliding candidates at +inf.
+    ``masked_costs`` is the selection row — equivalent (for velocity-keeping
+    fleet scoring) of rollout + default_cost + check_corridor +
+    check_collisions with infeasible/colliding candidates at +inf.
+    ``kin_costs`` is the statistics row: the same cost with ONLY the
+    kinematic/domain/goal mask applied (collision not yet), letting callers
+    reconstruct the reference's rejection counters (kinematic = inf in
+    kin_costs; colliding = finite in kin_costs but inf in masked_costs;
+    the lazy-iteration collision count = colliding & kin_cost < winner cost)
+    without reading back any [K, T] state arrays.
     """
     dtype = jnp.float32
     K = coeffs_lon.shape[0]
@@ -522,7 +536,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         functools.partial(_scoring_kernel, n_steps=n_steps,
                           n_obstacles=M, p_rows=P, check_flags=check_flags,
                           has_desired_s=desired_s is not None),
-        out_shape=jax.ShapeDtypeStruct((1, K_pad), dtype),
+        out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
+                   jax.ShapeDtypeStruct((1, K_pad), dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
@@ -546,13 +561,15 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             pl.BlockSpec((max(M, 1), T, 6), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs)
-    return out[0, :K]
+    return out[0][0, :K], out[1][0, :K]
 def score_fleet_pallas(*args, **kwargs):
-    """Masked candidate costs [F, K] for a fleet of planning problems.
+    """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
 
     x64-disabling wrapper around :func:`_score_fleet_pallas` (Mosaic rejects
     64-bit layouts; the context manager must wrap the jit CALL, not the body).
@@ -578,7 +595,9 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
                         interpret: bool = False) -> jnp.ndarray:
-    """Fleet-batched fused scoring: one pallas grid over (problem, K-tile).
+    """Fleet-batched fused scoring: one pallas grid over (problem, K-tile);
+    returns (masked_costs, kin_costs) each [F, K] (see
+    ``_score_candidates_pallas`` for the two rows' semantics).
 
     Every per-problem quantity carries a leading F axis:
       coeffs_lon/lat [F, K, 6], traj_len/goal_valid [F, K],
@@ -646,7 +665,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
                           n_obstacles=M, p_rows=P, check_flags=check_flags,
                           has_desired_s=has_desired_s),
-        out_shape=jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+        out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+                   jax.ShapeDtypeStruct((F, 1, K_pad), dtype)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, _NUM_SCALARS), lambda f, i: (f, 0, 0),
@@ -670,11 +690,13 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             pl.BlockSpec((1, max(M, 1), T, 6), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                                memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs)
-    return out[:, 0, :K]
+    return out[0][:, 0, :K], out[1][:, 0, :K]
 
 
 def pack_veh_stack(veh: VehicleArrays) -> jnp.ndarray:

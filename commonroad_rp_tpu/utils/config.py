@@ -101,6 +101,15 @@ class DebugConfiguration:
     num_workers: int = 6
     # TPU-build extension: dtype of the device planning kernels
     kernel_dtype: str = "float64"
+    # TPU-build extension: score candidates with the fused VMEM Pallas kernel
+    # (ops.pallas_cycle) instead of the XLA conformance program.  Rejection
+    # counters stay exact; the per-constraint reason dict is lost — the same
+    # trade the reference makes in multiprocessing mode, where worker-side
+    # reason statistics silently vanish (reactive_planner.py:962-967).
+    # Falls back to the XLA path outside the kernel's scope (float32,
+    # default cost with speed target, corridor/no boundary, discrete
+    # collision, no trajectory-set capture).
+    fast_scoring: bool = False
 
 
 @dataclass

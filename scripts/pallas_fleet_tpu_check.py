@@ -113,14 +113,14 @@ def main():
     tl = jnp.stack(tls)
     K = cl.shape[1]
 
-    got = np.asarray(pallas_cycle.score_fleet_pallas(
+    got = np.stack([np.asarray(row) for row in pallas_cycle.score_fleet_pallas(
         cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
         scene.obs_pose[:, :, :T], scene.obs_half,
         scene.obs_valid[:, :, :T], veh_stack,
         carry.orientation.astype(dtype), dt,
         jnp.zeros(F, dtype), scene.desired_speed.astype(dtype),
         jnp.zeros(F, dtype), jnp.full(F, 5.0, dtype), ref_s_last,
-        n_steps=n_steps))
+        n_steps=n_steps)], axis=1)     # [F, 2, K]: masked + kin-cost rows
 
     mismatches = 0
     for f in range(F):
@@ -129,12 +129,13 @@ def main():
         obs_f = ObstacleArrays(pose=scene.obs_pose[f, :, :T],
                                half_ext=scene.obs_half[f],
                                valid=scene.obs_valid[f, :, :T])
-        want = np.asarray(pallas_cycle.score_candidates_pallas(
+        want = np.stack([np.asarray(row) for row in
+                         pallas_cycle.score_candidates_pallas(
             cl[f], ca[f], tl[f], jnp.ones(K, dtype=bool), packed[f], obs_f,
             veh_f, carry.orientation[f].astype(dtype), dt,
             jnp.asarray(False), scene.desired_speed[f].astype(dtype),
             jnp.float32(0.0), jnp.float32(5.0), ref_s_last[f],
-            n_steps=n_steps))
+            n_steps=n_steps)])          # [2, K]
         if not np.array_equal(got[f], want, equal_nan=True):
             bad = np.flatnonzero(got[f] != want)
             print(f"problem {f}: {bad.size} mismatched candidates")

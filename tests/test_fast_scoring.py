@@ -1,0 +1,86 @@
+"""Facade fast-scoring path (config.debug.fast_scoring): the fused Pallas
+scorer behind the ReactivePlanner API.
+
+Runs the full ZAM_Over replanning loop with fast scoring (interpret mode on
+CPU) and checks it against the XLA conformance path: goal reached, matching
+selected trajectories, and exact rejection counters.  The per-constraint
+reason dict is documented as lost on this path (the reference's
+multiprocessing mode loses it the same way, reactive_planner.py:962-967).
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from commonroad_rp_tpu.models.planner import ReactivePlanner
+from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
+from commonroad_rp_tpu.utils.route import RoutePlanner
+
+logging.getLogger("RP_LOGGER").setLevel(logging.CRITICAL)
+
+
+def _make_config(repo_root, fast):
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Over-1_1.xml")
+    config.update()
+    config.debug.fast_scoring = fast
+    # fast path runs float32; compare against the float32 XLA path so any
+    # difference is the scoring backend, not the dtype
+    config.debug.kernel_dtype = "float32"
+    return config
+
+
+def _plan_once(repo_root, fast):
+    config = _make_config(repo_root, fast)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    result = planner.plan()
+    return planner, result
+
+
+@pytest.fixture(scope="module")
+def both_paths(repo_root):
+    return _plan_once(repo_root, fast=False), _plan_once(repo_root, fast=True)
+
+
+def test_fast_scoring_selects_same_trajectory(both_paths):
+    (_, want), (_, got) = both_paths
+    assert want is not None and got is not None
+    want_cart, got_cart = want[0], got[0]
+    assert len(want_cart.state_list) == len(got_cart.state_list)
+    for a, b in zip(want_cart.state_list, got_cart.state_list):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-4)
+        np.testing.assert_allclose(b.velocity, a.velocity, atol=1e-4)
+
+
+def test_fast_scoring_counters_match(both_paths):
+    (ref_planner, _), (fast_planner, _) = both_paths
+    assert fast_planner.infeasible_count_kinematics == \
+        ref_planner.infeasible_count_kinematics
+    assert fast_planner.infeasible_count_collision == \
+        ref_planner.infeasible_count_collision
+    assert fast_planner.optimal_cost == pytest.approx(
+        ref_planner.optimal_cost, rel=1e-5)
+
+
+def test_fast_scoring_reason_dict_lost(both_paths):
+    """Documented trade: per-constraint reasons unavailable (all zero),
+    mirroring the reference's multiproc statistics loss."""
+    _, (fast_planner, _) = both_paths
+    assert all(v == 0 for v in fast_planner.infeasible_reason_dict.values())
+
+
+def test_fast_scoring_full_loop_reaches_goal(repo_root):
+    from tests.test_planner_e2e import _run_loop
+
+    config = _make_config(repo_root, fast=True)
+    planner = _run_loop(config)
+    assert planner.goal_reached()
+    assert len(planner.record_state_list) < 60

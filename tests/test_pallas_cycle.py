@@ -84,20 +84,28 @@ def _xla_masked_costs(cfg):
 
 def _pallas_masked_costs(cfg):
     packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
-    out = pallas_cycle.score_candidates_pallas(
+    masked, kin = pallas_cycle.score_candidates_pallas(
         cfg["cl"], cfg["ca"], cfg["tl"],
         jnp.ones(cfg["cl"].shape[0], dtype=bool), packed, cfg["obstacles"],
         cfg["veh"], cfg["x0_theta"], cfg["dt"], cfg["low_vel"],
         cfg["desired_v"], jnp.float32(0.0), jnp.float32(5.0),
         n_steps=cfg["n_steps"], interpret=True)
-    return np.asarray(out)
+    return np.asarray(masked), np.asarray(kin)
 
 
 @pytest.mark.parametrize("v0,low_vel", [(15.0, False), (2.5, True)])
 def test_pallas_scoring_matches_xla(v0, low_vel):
     cfg = _setup(v0=v0, low_vel=low_vel)
     want = _xla_masked_costs(cfg)
-    got = _pallas_masked_costs(cfg)
+    got, kin = _pallas_masked_costs(cfg)
+
+    # statistics row: finite exactly where the XLA rollout is kinematically
+    # feasible (collision not yet applied)
+    rollout = kin_ops.rollout(cfg["cl"], cfg["ca"], cfg["tl"], cfg["ref"],
+                              cfg["veh"], cfg["x0_theta"], cfg["dt"],
+                              cfg["n_steps"], cfg["low_vel"])
+    np.testing.assert_array_equal(np.isfinite(kin),
+                                  np.asarray(rollout.feasible))
 
     finite_want = np.isfinite(want)
     finite_got = np.isfinite(got)
@@ -112,7 +120,7 @@ def test_pallas_scoring_matches_xla(v0, low_vel):
 def test_pallas_scoring_no_obstacles():
     cfg = _setup(with_obstacle=False)
     want = _xla_masked_costs(cfg)
-    got = _pallas_masked_costs(cfg)
+    got, _ = _pallas_masked_costs(cfg)
     np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
     assert int(np.argmin(got)) == int(np.argmin(want))
 
@@ -144,7 +152,7 @@ def test_pallas_scoring_stopping_mode():
         cfg["x0_theta"], cfg["dt"], jnp.asarray(False), jnp.float32(0.0),
         jnp.float32(0.0), jnp.float32(1.0),
         pallas_cycle.true_path_length(cfg["ref"]), jnp.float32(stop_s),
-        n_steps=cfg["n_steps"], interpret=True))
+        n_steps=cfg["n_steps"], interpret=True)[0])
 
     np.testing.assert_array_equal(np.isfinite(got), np.isfinite(want))
     finite = np.isfinite(want)
@@ -188,12 +196,13 @@ def test_fleet_scoring_matches_per_problem():
                 1e7 * jnp.arange(1, n + 1, dtype=jnp.float32))
             p = jnp.concatenate([p, rows], axis=0)
         padded_tables.append(p)
-        want.append(np.asarray(pallas_cycle.score_candidates_pallas(
+        want.append(np.stack([np.asarray(row)
+                              for row in pallas_cycle.score_candidates_pallas(
             c["cl"], c["ca"], c["tl"], jnp.ones(K, dtype=bool), p,
             c["obstacles"], c["veh"], c["x0_theta"], c["dt"], c["low_vel"],
             c["desired_v"], jnp.float32(0.0), jnp.float32(5.0),
             pallas_cycle.true_path_length(c["ref"]),
-            n_steps=n_steps, interpret=True)))
+            n_steps=n_steps, interpret=True)]))  # [2, K]
 
     M = max(c["obstacles"].pose.shape[0] for c in fleet_cfgs)
     obs_pose = np.zeros((F, M, T, 3), np.float32)
@@ -209,7 +218,8 @@ def test_fleet_scoring_matches_per_problem():
     veh_stack = jnp.stack([pallas_cycle.pack_veh_stack(
         jax.tree.map(lambda x: x[None], c["veh"]))[0] for c in fleet_cfgs])
 
-    got = np.asarray(pallas_cycle.score_fleet_pallas(
+    got = np.stack([np.asarray(row)
+                    for row in pallas_cycle.score_fleet_pallas(
         jnp.stack([c["cl"] for c in fleet_cfgs]),
         jnp.stack([c["ca"] for c in fleet_cfgs]),
         jnp.stack([c["tl"] for c in fleet_cfgs]),
@@ -224,7 +234,7 @@ def test_fleet_scoring_matches_per_problem():
         jnp.zeros(F, jnp.float32), jnp.full(F, 5.0, jnp.float32),
         jnp.stack([pallas_cycle.true_path_length(c["ref"])
                    for c in fleet_cfgs]),
-        n_steps=n_steps, interpret=True))
+        n_steps=n_steps, interpret=True)], axis=1)  # [F, 2, K]
 
     for f in range(F):
         np.testing.assert_array_equal(np.isfinite(got[f]),
