@@ -30,6 +30,10 @@ def main():
                              "inside plan() (run_planner.py:59-75 mode)")
     parser.add_argument("--plot", action="store_true",
                         help="save final-trajectory plot to output/")
+    parser.add_argument("--fast", action="store_true",
+                        help="score candidates with the fused Pallas kernel "
+                             "(config.debug.fast_scoring; per-constraint "
+                             "reason statistics unavailable)")
     args = parser.parse_args()
 
     import jax
@@ -53,6 +57,10 @@ def main():
     config = ReactivePlannerConfiguration.load(
         f"configurations/{args.scenario}.yaml", filename)
     config.update()
+
+    if args.fast:
+        config.debug.fast_scoring = True
+        config.debug.kernel_dtype = "float32"
 
     # f64 is emulated (slow) on TPU; default the kernel dtype by backend
     if args.dtype:

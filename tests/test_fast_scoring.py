@@ -84,3 +84,35 @@ def test_fast_scoring_full_loop_reaches_goal(repo_root):
     planner = _run_loop(config)
     assert planner.goal_reached()
     assert len(planner.record_state_list) < 60
+
+
+def test_fast_scoring_dynamic_obstacles(repo_root):
+    """Dynamic-obstacle scenario (DEU_Test, 2 moving vehicles): the fast
+    path must agree with the XLA path on selection and counters when the
+    obstacle occupancy window is time-variant."""
+    def plan(fast):
+        config = ReactivePlannerConfiguration.load(
+            repo_root / "configurations" / "DEU_Test-1_1_T-1.yaml",
+            "DEU_Test-1_1_T-1.xml")
+        config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+        config.general.set_path_scenario("DEU_Test-1_1_T-1.xml")
+        config.update()
+        config.debug.fast_scoring = fast
+        config.debug.kernel_dtype = "float32"
+        route = RoutePlanner(config.scenario,
+                             config.planning_problem).plan_routes() \
+            .retrieve_first_route()
+        planner = ReactivePlanner(config)
+        planner.set_reference_path(route.reference_path)
+        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        return planner, planner.plan()
+
+    ref_planner, want = plan(False)
+    fast_planner, got = plan(True)
+    assert want is not None and got is not None
+    for a, b in zip(want[0].state_list, got[0].state_list):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-4)
+    assert fast_planner.infeasible_count_kinematics == \
+        ref_planner.infeasible_count_kinematics
+    assert fast_planner.infeasible_count_collision == \
+        ref_planner.infeasible_count_collision
