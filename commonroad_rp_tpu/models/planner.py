@@ -507,6 +507,7 @@ class ReactivePlanner:
         # fused kernel's scope; anything outside it falls through to the
         # XLA conformance program below
         if (self.config.debug.fast_scoring
+                and self._dtype == jnp.float32
                 and not self._draw_traj_set
                 and not self.config.planning.continuous_collision_check
                 and boundary_mode in ("corridor", "none")
@@ -554,19 +555,26 @@ class ReactivePlanner:
                 x=np.asarray(result.rollout.x), y=np.asarray(result.rollout.y),
                 costs=costs, feasible=feasible, collides=collides)
 
-        if want_details:
-            feas_costs = costs[feasible]
+        return self._finalize_level(found, scalars, result.optimal,
+                                    costs[feasible] if want_details else None)
+
+    def _finalize_level(self, found: bool, scalars: np.ndarray,
+                        optimal_packed, feas_costs):
+        """Shared tail of both level-evaluation paths: bundle statistics,
+        not-found handling, and the winner unpack into OptimalTrajectory.
+        ``feas_costs`` is the kinematically feasible candidates' raw costs
+        (None when the caller skipped the detail readback)."""
+        bundle_stats = None
+        if feas_costs is not None:
             bundle_stats = {
                 "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
                 "cost_span": float(feas_costs.max() - feas_costs.min())
                 if feas_costs.size else 0.0,
             }
-        else:
-            bundle_stats = None
         if not found:
             return None, bundle_stats
 
-        arrays = cycle_ops.unpack_candidate(result.optimal)
+        arrays = cycle_ops.unpack_candidate(optimal_packed)
         optimal = OptimalTrajectory(arrays=arrays, cost=float(scalars[1]),
                                     dt=self.dt, horizon=self.horizon)
         logger.debug("Selected candidate %d with cost %.3f", int(scalars[0]),
@@ -617,24 +625,11 @@ class ReactivePlanner:
         self._infeasible_count_collision = int(scalars[3])
         self._pending_reason_stats = None   # reason dict lost on fast path
 
-        bundle_stats = None
+        feas_costs = None
         if logger.isEnabledFor(logging.DEBUG):
             kin_costs = np.asarray(result.kin_costs)
             feas_costs = kin_costs[np.isfinite(kin_costs)]
-            bundle_stats = {
-                "cost_min": float(feas_costs.min()) if feas_costs.size else 0.0,
-                "cost_span": float(feas_costs.max() - feas_costs.min())
-                if feas_costs.size else 0.0,
-            }
-        if not found:
-            return None, bundle_stats
-
-        arrays = cycle_ops.unpack_candidate(result.optimal)
-        optimal = OptimalTrajectory(arrays=arrays, cost=float(scalars[1]),
-                                    dt=self.dt, horizon=self.horizon)
-        logger.debug("Selected candidate %d with cost %.3f (fast path)",
-                     int(scalars[0]), optimal.cost)
-        return optimal, bundle_stats
+        return self._finalize_level(found, scalars, result.optimal, feas_costs)
 
     def _vehicle_arrays(self) -> kin_ops.VehicleArrays:
         v = self.vehicle_params

@@ -11,8 +11,9 @@ selection costs + kinematic-feasible statistics costs) — candidate states
 never touch HBM.
 
 Scope: fleet-path and facade fast-path scoring (no per-constraint reason
-statistics — the facade's conformance path keeps the XLA kernels).  float32 only; do not trace under
-x64 values.  Layout: T-major ([T, TILE_K]) like ops.kinematics.
+statistics — the facade's conformance path keeps the XLA kernels).
+float32 only; do not trace under x64 values.  Layout: T-major
+([T, TILE_K]) like ops.kinematics.
 
 Packed reference-table columns (``pack_ref_tables``):
     0: s      1: theta   2: curv   3: curv_d   4: d_lo   5: d_hi
@@ -98,7 +99,7 @@ _PAIR_ROWS = 16  # 12 lo columns + 4 hi interpolation columns (s/θ/κ/κ')
 split3_bf16 = frenet_ops.split3_bf16
 
 
-def _onehot_at(s_chunk, s_col, P, dtype):
+def _onehot_at(s_chunk, s_col, dtype):
     """[P, TILE] one-hot of idx = count(s_vertex <= s) - 1, built as the
     containing-interval test s_col[p] <= s < s_col[p+1] (successor column
     shifted; the table's arclengths are strictly increasing, incl. the
@@ -113,15 +114,17 @@ def _onehot_at(s_chunk, s_col, P, dtype):
     return ((s_col <= s_chunk) & (s_next_col > s_chunk)).astype(dtype)
 
 
-def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2, P):
+def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2):
     """One-chunk table gather, strictly 2-D (Mosaic layout discipline).
 
     s_chunk: [1, TILE] query arclengths; s_col: [P, 1] table arclengths;
     pair_t{0,1,2}: [16, P] exact bf16 split (``split3_bf16``) of the packed
     lo-row table (12 cols) stacked with the hi-row interpolation columns
     (s/θ/κ/κ', 4 cols).  Returns [16, TILE] float32 rows at
-    idx = count(s_vertex <= s) - 1 (reference wrap-to-last for idx == -1) —
-    rows 0..11 are the lo columns, rows 12..15 the hi interpolation columns.
+    idx = count(s_vertex <= s) - 1; for s < 0 (``_onehot_at``'s all-zero
+    row) every column reads 0 — callers must domain-mask such candidates,
+    there is NO wrap-to-last here.  Rows 0..11 are the lo columns,
+    rows 12..15 the hi interpolation columns.
 
     Exact: the one-hot is 0/1 (exact in bf16), each bf16 dot selects one term
     with f32 accumulation, and the 3-term sum reconstructs float32 exactly,
@@ -129,21 +132,21 @@ def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2, P):
     half the physical MXU passes (3 vs 6) and one matmul per step instead of
     two (the 128-row MXU tile makes the extra 4 hi rows free).
     """
-    onehot = _onehot_at(s_chunk, s_col, P, jnp.bfloat16)
+    onehot = _onehot_at(s_chunk, s_col, jnp.bfloat16)
     dot = lambda tab: jax.lax.dot_general(
         tab, onehot, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     return (dot(pair_t0) + dot(pair_t1)) + dot(pair_t2)
 
 
-def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col, P):
+def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
     """Corridor-band gather on the VPU: (d_lo, d_hi) each [1, TILE] at the
     probe arclength's table row.  A broadcast-multiply-reduce against the
     [P, 1] band columns — exact (0/1 mask, single nonzero per column) and
     much cheaper than an MXU one-hot matmul whose 2 useful rows would be
     padded to the 128-row tile.  Probe arclengths are clamped into
     [0, ref_s_last], so ``_onehot_at``'s interval test always hits a row."""
-    onehot = _onehot_at(s_chunk, s_col, s_col.shape[0], jnp.float32)
+    onehot = _onehot_at(s_chunk, s_col, jnp.float32)
     d_lo = jnp.sum(onehot * d_lo_col, axis=0, keepdims=True)
     d_hi = jnp.sum(onehot * d_hi_col, axis=0, keepdims=True)
     return d_lo, d_hi
@@ -152,7 +155,7 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col, P):
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
                     pair_t2_ref, obs_ref, cost_ref, kin_cost_ref,
-                    *, n_steps: int, n_obstacles: int, p_rows: int,
+                    *, n_steps: int, n_obstacles: int,
                     check_flags: tuple, has_desired_s: bool = False):
     """Single-problem kernel shell."""
     cost_ref[:], kin_cost_ref[:] = _scoring_body(
@@ -161,7 +164,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
         pair_t2_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
-        n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
+        n_steps=n_steps, n_obstacles=n_obstacles,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
@@ -169,7 +172,7 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
                           pair_t1_ref, pair_t2_ref, obs_ref, cost_ref,
                           kin_cost_ref,
-                          *, n_steps: int, n_obstacles: int, p_rows: int,
+                          *, n_steps: int, n_obstacles: int,
                           check_flags: tuple, has_desired_s: bool = False):
     """Fleet kernel shell: every ref carries a leading per-problem block axis
     of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
@@ -179,13 +182,13 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
         goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
         pair_t2_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
-        n_steps=n_steps, n_obstacles=n_obstacles, p_rows=p_rows,
+        n_steps=n_steps, n_obstacles=n_obstacles,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                   goal_valid_row, table, pair_t0, pair_t1, pair_t2, obs_ref,
-                  obs_col, *, n_steps: int, n_obstacles: int, p_rows: int,
+                  obs_col, *, n_steps: int, n_obstacles: int,
                   check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
@@ -244,7 +247,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     hi_cols = [[] for _ in range(4)]
     for c in range(T):                                      # static, small T
         vals = _lookup_pair(s[c:c + 1, :], s_col, pair_t0, pair_t1,
-                            pair_t2, p_rows)                # [16, TILE]
+                            pair_t2)                        # [16, TILE]
         for col in range(_NUM_COLS):
             lo_cols[col].append(vals[col:col + 1, :])
         for col in range(4):
@@ -406,7 +409,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
             band_lo, band_hi = _probe_band(s_probe[c:c + 1, :], s_col,
-                                           d_lo_col, d_hi_col, p_rows)
+                                           d_lo_col, d_hi_col)
             row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
                          > band_hi) |
                         (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
@@ -534,7 +537,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     grid = (K_pad // _TILE_K,)
     out = pl.pallas_call(
         functools.partial(_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, p_rows=P, check_flags=check_flags,
+                          n_obstacles=M, check_flags=check_flags,
                           has_desired_s=desired_s is not None),
         out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
                    jax.ShapeDtypeStruct((1, K_pad), dtype)),
@@ -663,7 +666,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     grid = (F, K_pad // _TILE_K)
     out = pl.pallas_call(
         functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, p_rows=P, check_flags=check_flags,
+                          n_obstacles=M, check_flags=check_flags,
                           has_desired_s=has_desired_s),
         out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
                    jax.ShapeDtypeStruct((F, 1, K_pad), dtype)),

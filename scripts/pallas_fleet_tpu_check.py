@@ -137,9 +137,13 @@ def main():
             jnp.float32(0.0), jnp.float32(5.0), ref_s_last[f],
             n_steps=n_steps)])          # [2, K]
         if not np.array_equal(got[f], want, equal_nan=True):
-            bad = np.flatnonzero(got[f] != want)
-            print(f"problem {f}: {bad.size} mismatched candidates")
-            mismatches += bad.size
+            # NaN == NaN counts as agreement; report (row, candidate) pairs
+            diff = (got[f] != want) & ~(np.isnan(got[f]) & np.isnan(want))
+            rows, cands = np.nonzero(diff)
+            print(f"problem {f}: {cands.size} mismatched entries "
+                  f"(rows {sorted(set(rows.tolist()))}, "
+                  f"first candidates {cands[:5].tolist()})")
+            mismatches += cands.size
     print("parity:", "BIT-IDENTICAL" if mismatches == 0
           else f"{mismatches} mismatches")
     assert mismatches == 0
