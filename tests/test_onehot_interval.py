@@ -37,7 +37,7 @@ def test_interval_onehot_matches_count_index_in_domain():
     ]).astype(np.float32)
 
     onehot = np.asarray(_onehot_at(
-        jnp.asarray(q)[None, :], jnp.asarray(s_col)[:, None], P, jnp.float32))
+        jnp.asarray(q)[None, :], jnp.asarray(s_col)[:, None], jnp.float32))
     assert onehot.shape == (P, q.shape[0])
     np.testing.assert_array_equal(onehot.sum(axis=0), 1.0)
     got_idx = np.argmax(onehot, axis=0)
@@ -48,7 +48,7 @@ def test_interval_onehot_negative_s_is_zero_row():
     s_col, _ = _table_col()
     P = s_col.shape[0]
     q = jnp.asarray(np.float32([-0.5, -1e-3]))[None, :]
-    onehot = np.asarray(_onehot_at(q, jnp.asarray(s_col)[:, None], P,
+    onehot = np.asarray(_onehot_at(q, jnp.asarray(s_col)[:, None],
                                    jnp.float32))
     np.testing.assert_array_equal(onehot, 0.0)
 
@@ -64,7 +64,7 @@ def test_probe_band_gathers_band_rows():
     lo, hi = _probe_band(jnp.asarray(q)[None, :],
                          jnp.asarray(s_col)[:, None],
                          jnp.asarray(d_lo)[:, None],
-                         jnp.asarray(d_hi)[:, None], P)
+                         jnp.asarray(d_hi)[:, None])
     idx = _count_idx(s_col, q)
     np.testing.assert_array_equal(np.asarray(lo)[0], d_lo[idx])
     np.testing.assert_array_equal(np.asarray(hi)[0], d_hi[idx])
