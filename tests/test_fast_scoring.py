@@ -86,6 +86,26 @@ def test_fast_scoring_full_loop_reaches_goal(repo_root):
     assert len(planner.record_state_list) < 60
 
 
+@pytest.mark.parametrize("scenario,max_len", [
+    ("ZAM-Ramp-1_1-T-1", 60),          # standstill start, low-velocity mode
+    ("ZAM_Tjunction-1_42_T-1", 160),   # 10 dynamic obstacles, yield phase
+])
+def test_fast_scoring_hard_scenarios_reach_goal(repo_root, scenario, max_len):
+    """The fast path drives the standstill-fallback and dense-traffic
+    scenarios end to end with the same step counts as the XLA path."""
+    from tests.test_planner_e2e import _run_loop
+
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / f"{scenario}.yaml", f"{scenario}.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario(f"{scenario}.xml")
+    config.update()
+    config.debug.fast_scoring = True
+    config.debug.kernel_dtype = "float32"
+    planner = _run_loop(config, max_steps=max_len)
+    assert planner.goal_reached()
+
+
 def test_fast_scoring_dynamic_obstacles(repo_root):
     """Dynamic-obstacle scenario (DEU_Test, 2 moving vehicles): the fast
     path must agree with the XLA path on selection and counters when the
