@@ -191,17 +191,24 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         obs_pose_w, obs_valid_w = jax.vmap(window)(
             scene.obs_pose, scene.obs_valid, carry.time_step)
 
-        costs, _ = pallas_cycle._score_fleet_pallas(
+        costs, kin_costs = pallas_cycle._score_fleet_pallas(
             cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
             obs_pose_w, scene.obs_half, obs_valid_w, veh_stack,
             carry.orientation, dt, low_vel.astype(dtype),
             scene.desired_speed.astype(dtype), jnp.zeros(F, dtype),
             jnp.full(F, 5.0, dtype), ref_s_last,
-            n_steps=n_steps, interpret=interpret)          # [F, K]
+            n_steps=n_steps, interpret=interpret)          # [F, K] each
 
         best = jnp.argmin(costs, axis=1)                   # [F]
         best_cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
         found = jnp.isfinite(best_cost)
+        # per-problem rejection statistics from the kernel's two cost rows
+        # (facade-counter semantics: kinematic = inf in the stats row;
+        # colliding = kinematically feasible but masked out)
+        kin_inf = jnp.isinf(kin_costs)
+        n_kin_infeasible = jnp.sum(kin_inf, axis=1).astype(jnp.int32)   # [F]
+        n_colliding = jnp.sum(~kin_inf & jnp.isinf(costs),
+                              axis=1).astype(jnp.int32)                 # [F]
 
         # re-roll ONLY the winners (K = 1 per problem) for the carry update
         def reroll(cl1, ca1, tl1, ref_f, veh_f, orient, lv):
@@ -241,7 +248,8 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             n_found = jnp.maximum(
                 jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS), 1)
         metrics = (found, best_cost, pick(rollout.x), pick(rollout.y),
-                   n_success, cost_sum / n_found)
+                   n_success, cost_sum / n_found,
+                   n_kin_infeasible, n_colliding)
         return new_carry, metrics
 
     def local_scan(carry, scene, packed, ref_s_last, veh_stack):
@@ -264,7 +272,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             veh=kin_ops.VehicleArrays(*([f] * 8)))
         metrics_spec = (P(None, FLEET_AXIS), P(None, FLEET_AXIS),
                         P(None, FLEET_AXIS), P(None, FLEET_AXIS), P(None),
-                        P(None))
+                        P(None), P(None, FLEET_AXIS), P(None, FLEET_AXIS))
         sharded = shard_map(
             local_scan, mesh=mesh,
             in_specs=(carry_spec, scene_spec, f, f, f),

@@ -152,6 +152,15 @@ def test_pallas_fleet_scan_dead_member_freezes(repo_root):
     found = np.asarray(metrics[0])                   # [cycles, F]
     assert found[:, 0].all(), "healthy member should keep planning"
     assert not found[:, 1].any(), "squeezed member cannot plan"
+    # per-problem rejection statistics (kernel stats row): the squeezed
+    # member's candidates are all kinematically fine but corridor-colliding
+    n_kin_inf = np.asarray(metrics[6])               # [cycles, F]
+    n_coll = np.asarray(metrics[7])
+    K = static_grid.size
+    assert ((n_kin_inf + n_coll) <= K).all()
+    assert (n_kin_inf[:, 1] + n_coll[:, 1] == K).all(), \
+        "every candidate of the squeezed member is rejected"
+    assert (n_coll[:, 1] > 0).all()
     assert bool(final.alive[0]) and not bool(final.alive[1])
     np.testing.assert_allclose(np.asarray(final.x0_lon[1]),
                                np.asarray(carry.x0_lon[1]), atol=1e-6)
