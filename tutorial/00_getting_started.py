@@ -103,3 +103,18 @@ plot_final_trajectory(config.scenario, config.planning_problem,
                       planner.record_state_list, config,
                       save_path="output/tutorial_final_trajectory.png")
 print("plot saved to output/tutorial_final_trajectory.png")
+
+# %% 7. Fast scoring (optional) ---------------------------------------------
+# Score candidates with the fused VMEM Pallas kernel instead of the XLA
+# conformance program: same selected trajectory, exact rejection counters;
+# the per-constraint reason dict is unavailable on this path (the
+# reference's multiprocessing mode loses it the same way). On TPU the
+# scoring itself runs sub-millisecond; on CPU the kernel executes in
+# (slower) interpret mode.
+config.debug.fast_scoring = True
+config.debug.kernel_dtype = "float32"
+fast_planner = ReactivePlanner(config)
+fast_planner.set_reference_path(route.reference_path)
+fast_planner.set_desired_velocity(current_speed=fast_planner.x_0.velocity)
+fast_result = fast_planner.plan()
+print("fast path optimal cost:", fast_planner.optimal_cost)
