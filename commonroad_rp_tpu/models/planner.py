@@ -528,12 +528,18 @@ class ReactivePlanner:
             boundary_mode=boundary_mode,
             continuous_check=self.config.planning.continuous_collision_check)
 
-        # minimal host readbacks on the hot path: found (scalar sync) + one
-        # [4] scalar pack + one [14,T] candidate pack; the per-constraint
-        # statistics ([3,K] masks) and cost distribution ([K]) are read back
-        # lazily only when consumed (debug logging, properties, viz)
-        found = bool(result.found)
-        scalars = np.asarray(result.scalars)
+        # minimal host readbacks on the hot path: ONE batched transfer of
+        # the [4] scalar pack + [14,T] candidate pack (each np.asarray is a
+        # separate device sync — a full round-trip each on a tunneled
+        # backend); found is derived from the winner cost (inf = none).
+        # The per-constraint statistics ([3,K] masks) and cost distribution
+        # ([K]) are read back lazily only when consumed (debug logging,
+        # properties, viz)
+        import jax as _jax
+        scalars, optimal_packed = _jax.device_get((result.scalars,
+                                                   result.optimal))
+        scalars = np.asarray(scalars)
+        found = bool(np.isfinite(scalars[1]))
         self.stage_timers.record("device_cycle", time.time() - t0)
         logger.debug("Device cycle evaluation took \t%.7fs", time.time() - t0)
 
@@ -555,7 +561,7 @@ class ReactivePlanner:
                 x=np.asarray(result.rollout.x), y=np.asarray(result.rollout.y),
                 costs=costs, feasible=feasible, collides=collides)
 
-        return self._finalize_level(found, scalars, result.optimal,
+        return self._finalize_level(found, scalars, optimal_packed,
                                     costs[feasible] if want_details else None)
 
     def _finalize_level(self, found: bool, scalars: np.ndarray,
@@ -615,8 +621,11 @@ class ReactivePlanner:
             cost_structure=self.cost_function.structure,
             constraint_flags=flags,
             interpret=jax.default_backend() != "tpu")
-        found = bool(result.found)
-        scalars = np.asarray(result.scalars)
+        import jax as _jax
+        scalars, optimal_packed = _jax.device_get((result.scalars,
+                                                   result.optimal))
+        scalars = np.asarray(scalars)
+        found = bool(np.isfinite(scalars[1]))
         self.stage_timers.record("device_cycle", time.time() - t0)
         logger.debug("Device cycle evaluation (fast path) took \t%.7fs",
                      time.time() - t0)
@@ -629,7 +638,7 @@ class ReactivePlanner:
         if logger.isEnabledFor(logging.DEBUG):
             kin_costs = np.asarray(result.kin_costs)
             feas_costs = kin_costs[np.isfinite(kin_costs)]
-        return self._finalize_level(found, scalars, result.optimal, feas_costs)
+        return self._finalize_level(found, scalars, optimal_packed, feas_costs)
 
     def _vehicle_arrays(self) -> kin_ops.VehicleArrays:
         v = self.vehicle_params
