@@ -136,3 +136,29 @@ def test_fast_scoring_dynamic_obstacles(repo_root):
         ref_planner.infeasible_count_kinematics
     assert fast_planner.infeasible_count_collision == \
         ref_planner.infeasible_count_collision
+
+
+def test_fast_scoring_no_feasible_candidates_returns_none(repo_root):
+    """When every candidate is rejected (drivable band squeezed to a
+    sliver), the fast path must return None from the level evaluation and
+    plan() must degrade exactly like the XLA path (standstill fallback only
+    at v~0, else None + warning)."""
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops.collision import CorridorArrays
+
+    config = _make_config(repo_root, fast=True)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    # squeeze the cached corridor band to an impossible sliver
+    corr = planner.collision_checker.corridor_for(planner.coordinate_system)
+    planner.collision_checker._corridor_cache[planner.coordinate_system] = \
+        CorridorArrays(d_lo=jnp.full_like(corr.d_lo, 0.001),
+                       d_hi=jnp.full_like(corr.d_hi, 0.002))
+    result = planner.plan()
+    assert result is None
+    assert planner.infeasible_count_collision > 0
