@@ -511,6 +511,7 @@ class ReactivePlanner:
                 and not self._draw_traj_set
                 and not self.config.planning.continuous_collision_check
                 and boundary_mode in ("corridor", "none")
+                and obstacles.poly_verts is None
                 and cf.structure[0] == "default" and cf.structure[1]):
             return self._get_optimal_trajectory_fast(
                 batch, goal_valid, veh, obstacles, corridor, flags,
@@ -632,6 +633,12 @@ class ReactivePlanner:
 
         self._infeasible_count_kinematics = int(scalars[2])
         self._infeasible_count_collision = int(scalars[3])
+        if found and scalars[4] < 0.5:
+            # the kernel's _atan approximation (~1e-7) flipped a
+            # boundary-tight feasibility verdict on the selected winner
+            logger.warning("fast path: selected winner fails the exact "
+                           "feasibility re-check; consider the XLA path "
+                           "(debug.fast_scoring: False) for this scenario")
         self._pending_reason_stats = None   # reason dict lost on fast path
 
         feas_costs = None

@@ -29,14 +29,28 @@ from commonroad_rp_tpu.utils.scenario import (Circle, Polygon, Rectangle,
 class ObstacleArrays(NamedTuple):
     """Dense obstacle occupancy tables, device-resident.
 
-    pose: [M, T, 3]  (center x, center y, orientation)
-    half_ext: [M, 2] (half length, half width)
-    valid: [M, T]    occupancy exists at that scenario time step
+    Box/disc group (every obstacle whose occupancy is an OBB or a disc):
+      pose: [M, T, 3]  (center x, center y, orientation)
+      half_ext: [M, 2] (half length, half width; (0, 0) for discs)
+      valid: [M, T]    occupancy exists at that scenario time step
+      radius: [M]      disc radius; 0 marks an OBB row.  None when the scene
+                       has no circle obstacles (pure-OBB fast layout).
+
+    Polygon group (convex pieces of polygon obstacles; exact SAT on device —
+    pycrcc collides exact polygon primitives, reactive_planner.py:236-239):
+      poly_verts: [Mp, T, V, 2]  world-frame vertices per step, padded along
+                                 V by repeating the last vertex (degenerate
+                                 edges contribute no separating axis)
+      poly_valid: [Mp, T]
+    Both None when the scene has no polygon obstacles.
     """
 
     pose: jnp.ndarray
     half_ext: jnp.ndarray
     valid: jnp.ndarray
+    radius: Optional[jnp.ndarray] = None
+    poly_verts: Optional[jnp.ndarray] = None
+    poly_valid: Optional[jnp.ndarray] = None
 
 
 class BoundaryArrays(NamedTuple):
@@ -65,78 +79,124 @@ class CorridorArrays(NamedTuple):
 # host-side scene compilation
 # ---------------------------------------------------------------------------
 
-def _shape_as_obb(shape) -> Tuple[float, float]:
-    """Half extents of an obstacle shape as an OBB over-approximation."""
-    if isinstance(shape, Rectangle):
-        return 0.5 * shape.length, 0.5 * shape.width
-    if isinstance(shape, Circle):
-        return shape.radius, shape.radius
-    if isinstance(shape, Polygon):
-        mins = shape.points.min(axis=0)
-        maxs = shape.points.max(axis=0)
-        return 0.5 * float(maxs[0] - mins[0]), 0.5 * float(maxs[1] - mins[1])
-    raise ValueError(f"unsupported obstacle shape {type(shape)}")
-
-
 def compile_obstacles(scenario: Scenario, t_start: int, horizon_steps: int,
                       factor: int = 1, dtype=jnp.float64) -> ObstacleArrays:
-    """Flatten scenario obstacles into [M, T] pose tables for one cycle window.
+    """Flatten scenario obstacles into [M, T] occupancy tables for one window.
 
     Plays the role of create_collision_object per obstacle
-    (reactive_planner.py:235-245): static obstacles occupy every step; dynamic
-    obstacles occupy the steps covered by their trajectory prediction (no
-    occupancy -> no collision, matching pycrcc time-variant semantics).
-    Queried ego step i corresponds to scenario step t_start + i * factor
-    (:1040).
+    (reactive_planner.py:235-245) with pycrcc's exact shape primitives:
+    rectangles become OBB rows, circles disc rows (half_ext (0,0) + radius),
+    polygons convex pieces in the polygon group (concave inputs are
+    ear-clipped on the host, ``utils.geometry.decompose_polygon``).  Static
+    obstacles occupy every step; dynamic obstacles occupy the steps covered
+    by their trajectory prediction (no occupancy -> no collision, matching
+    pycrcc time-variant semantics).  Queried ego step i corresponds to
+    scenario step t_start + i * factor (:1040).
     """
+    from commonroad_rp_tpu.utils.geometry import decompose_polygon
+
     T = horizon_steps + 1
     rows_pose: List[np.ndarray] = []
     rows_ext: List[Tuple[float, float]] = []
     rows_valid: List[np.ndarray] = []
+    rows_radius: List[float] = []
+    poly_piece_verts: List[np.ndarray] = []      # body-frame [V, 2] per piece
+    poly_piece_states: List[List] = []           # per-step (pos, theta) or None
 
-    def shape_offsets(shape):
-        """Rectangle shapes may carry their own center offset/orientation
-        (applied in the obstacle's body frame)."""
-        if isinstance(shape, Rectangle):
-            return np.asarray(shape.center, dtype=np.float64), float(shape.orientation)
-        return np.zeros(2), 0.0
-
-    def obb_pose(state, shape):
+    def world_center(state, offset: np.ndarray):
         center = np.asarray(state.position, dtype=np.float64)
         theta = float(state.orientation or 0.0)
-        offset, d_theta = shape_offsets(shape)
         if offset[0] or offset[1]:
             c, s = np.cos(theta), np.sin(theta)
             center = center + np.array([c * offset[0] - s * offset[1],
                                         s * offset[0] + c * offset[1]])
-        return [center[0], center[1], theta + d_theta]
+        return center, theta
+
+    def states_over_window(obstacle, static: bool):
+        """Per-ego-step obstacle state (None = no occupancy)."""
+        if static:
+            return [obstacle.initial_state] * T
+        return [obstacle.state_at_time(t_start + i * factor) for i in range(T)]
+
+    def add_obstacle(obstacle, static: bool):
+        shape = obstacle.shape
+        states = states_over_window(obstacle, static)
+        if isinstance(shape, (Rectangle, Circle)):
+            if isinstance(shape, Rectangle):
+                offset = np.asarray(shape.center, dtype=np.float64)
+                d_theta = float(shape.orientation)
+                ext = (0.5 * shape.length, 0.5 * shape.width)
+                radius = 0.0
+            else:
+                offset = np.asarray(shape.center, dtype=np.float64)
+                d_theta = 0.0
+                ext = (0.0, 0.0)
+                radius = float(shape.radius)
+            pose = np.zeros((T, 3))
+            valid = np.zeros(T, dtype=bool)
+            for i, state in enumerate(states):
+                if state is not None and state.position is not None:
+                    center, theta = world_center(state, offset)
+                    pose[i] = [center[0], center[1], theta + d_theta]
+                    valid[i] = True
+            rows_pose.append(pose)
+            rows_ext.append(ext)
+            rows_valid.append(valid)
+            rows_radius.append(radius)
+        elif isinstance(shape, Polygon):
+            pieces = decompose_polygon(shape.points)
+            step_states = [(np.asarray(s.position, dtype=np.float64),
+                            float(s.orientation or 0.0))
+                           if s is not None and s.position is not None else None
+                           for s in states]
+            for piece in pieces:
+                poly_piece_verts.append(piece)
+                poly_piece_states.append(step_states)
+        else:
+            raise ValueError(f"unsupported obstacle shape {type(shape)}")
 
     for obstacle in scenario.static_obstacles:
-        pose = np.tile(np.array(obb_pose(obstacle.initial_state,
-                                         obstacle.shape)), (T, 1))
-        rows_pose.append(pose)
-        rows_ext.append(_shape_as_obb(obstacle.shape))
-        rows_valid.append(np.ones(T, dtype=bool))
-
+        add_obstacle(obstacle, static=True)
     for obstacle in scenario.dynamic_obstacles:
-        pose = np.zeros((T, 3))
-        valid = np.zeros(T, dtype=bool)
-        for i in range(T):
-            state = obstacle.state_at_time(t_start + i * factor)
-            if state is not None and state.position is not None:
-                pose[i] = obb_pose(state, obstacle.shape)
-                valid[i] = True
-        rows_pose.append(pose)
-        rows_ext.append(_shape_as_obb(obstacle.shape))
-        rows_valid.append(valid)
+        add_obstacle(obstacle, static=False)
 
-    if not rows_pose:
-        return ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype=dtype),
-                              half_ext=jnp.zeros((0, 2), dtype=dtype),
-                              valid=jnp.zeros((0, T), dtype=bool))
-    return ObstacleArrays(pose=jnp.asarray(np.stack(rows_pose), dtype=dtype),
-                          half_ext=jnp.asarray(np.array(rows_ext), dtype=dtype),
-                          valid=jnp.asarray(np.stack(rows_valid)))
+    if rows_pose:
+        pose = jnp.asarray(np.stack(rows_pose), dtype=dtype)
+        half_ext = jnp.asarray(np.array(rows_ext), dtype=dtype)
+        valid = jnp.asarray(np.stack(rows_valid))
+        radius_arr = np.asarray(rows_radius)
+        radius = jnp.asarray(radius_arr, dtype=dtype) \
+            if np.any(radius_arr > 0) else None
+    else:
+        pose = jnp.zeros((0, T, 3), dtype=dtype)
+        half_ext = jnp.zeros((0, 2), dtype=dtype)
+        valid = jnp.zeros((0, T), dtype=bool)
+        radius = None
+
+    poly_verts = poly_valid = None
+    if poly_piece_verts:
+        V_max = max(len(p) for p in poly_piece_verts)
+        Mp = len(poly_piece_verts)
+        verts = np.zeros((Mp, T, V_max, 2))
+        pvalid = np.zeros((Mp, T), dtype=bool)
+        for m, (body, step_states) in enumerate(
+                zip(poly_piece_verts, poly_piece_states)):
+            padded = np.concatenate(
+                [body, np.repeat(body[-1:], V_max - len(body), axis=0)])
+            for i, st in enumerate(step_states):
+                if st is None:
+                    continue
+                position, theta = st
+                c, s = np.cos(theta), np.sin(theta)
+                rot = np.array([[c, -s], [s, c]])
+                verts[m, i] = padded @ rot.T + position
+                pvalid[m, i] = True
+        poly_verts = jnp.asarray(verts, dtype=dtype)
+        poly_valid = jnp.asarray(pvalid)
+
+    return ObstacleArrays(pose=pose, half_ext=half_ext, valid=valid,
+                          radius=radius, poly_verts=poly_verts,
+                          poly_valid=poly_valid)
 
 
 def compile_road_boundary(scenario: Scenario, dtype=jnp.float64) -> BoundaryArrays:
@@ -273,18 +333,24 @@ def check_corridor(s: jnp.ndarray, d: jnp.ndarray, theta_cl: jnp.ndarray,
 
 
 def pad_obstacles(obstacles: ObstacleArrays, m_max: int) -> ObstacleArrays:
-    """Pad the obstacle axis to a fixed size (invalid rows) for static shapes."""
+    """Pad the box/disc obstacle axis to a fixed size (invalid rows) for
+    static shapes.  The polygon group passes through unchanged."""
     M, T, _ = obstacles.pose.shape
     if M == m_max:
         return obstacles
     assert M < m_max, f"more obstacles ({M}) than padding target ({m_max})"
     pad = m_max - M
+    radius = obstacles.radius
+    if radius is not None:
+        radius = jnp.concatenate([radius, jnp.zeros((pad,), radius.dtype)])
     return ObstacleArrays(
         pose=jnp.concatenate([obstacles.pose,
                               jnp.zeros((pad, T, 3), obstacles.pose.dtype)]),
         half_ext=jnp.concatenate([obstacles.half_ext,
                                   jnp.ones((pad, 2), obstacles.half_ext.dtype)]),
-        valid=jnp.concatenate([obstacles.valid, jnp.zeros((pad, T), dtype=bool)]))
+        valid=jnp.concatenate([obstacles.valid, jnp.zeros((pad, T), dtype=bool)]),
+        radius=radius, poly_verts=obstacles.poly_verts,
+        poly_valid=obstacles.poly_valid)
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +389,69 @@ def obb_overlap(center_a, theta_a, half_a, center_b, theta_b, half_b) -> jnp.nda
         r_b = _project_radius(axis, maj_b, min_b, half_b)
         overlap = overlap & (dist <= r_a + r_b)
     return overlap
+
+
+def disc_obb_overlap(disc_center, radius, box_center, box_theta,
+                     box_half) -> jnp.ndarray:
+    """Exact disc vs OBB overlap (closest-point test); broadcasts leading dims.
+
+    Batched equivalent of pycrcc.Circle vs RectOBB collide()
+    (reactive_planner.py:236-239 via create_collision_object): the disc
+    center is clamped into the box frame; overlap iff the clamped point lies
+    within the radius.  Exact — no corner over-approximation.
+    """
+    major, minor = _obb_axes(box_theta)
+    delta = disc_center - box_center
+    lx = jnp.abs(jnp.sum(delta * major, axis=-1))
+    ly = jnp.abs(jnp.sum(delta * minor, axis=-1))
+    qx = jnp.maximum(lx - box_half[..., 0], 0.0)
+    qy = jnp.maximum(ly - box_half[..., 1], 0.0)
+    return qx * qx + qy * qy <= radius * radius
+
+
+def _poly_obb_overlap_tmajor(vt, pvalid_t, cx, cy, e_cos, e_sin,
+                             ehl, ehw) -> jnp.ndarray:
+    """Exact convex-polygon vs ego-OBB SAT in the T-major layout.
+
+    vt: [T, Mp, V, 2] world vertices (padded V repeats the final vertex);
+    pvalid_t: [T, Mp]; cx/cy/e_cos/e_sin: [T, K] ego OBB center poses;
+    ehl/ehw: scalar half extents.  Returns the hit mask [T, Mp, K].
+
+    Axes: the 2 ego box axes + the polygon's V edge normals
+    (exact for convex-convex SAT).  Edge normals stay unnormalized — the
+    ego projection radius and the polygon interval scale identically, and
+    zero-length padded edges then contribute no separating axis.
+    """
+    # ego axes: project polygon vertices into the ego frame
+    rel_x = vt[..., 0][:, :, :, None] - cx[:, None, None, :]   # [T, Mp, V, K]
+    rel_y = vt[..., 1][:, :, :, None] - cy[:, None, None, :]
+    ec = e_cos[:, None, None, :]
+    es = e_sin[:, None, None, :]
+    proj_major = rel_x * ec + rel_y * es
+    proj_minor = -rel_x * es + rel_y * ec
+    sep = (jnp.min(proj_major, axis=2) > ehl) | \
+          (jnp.max(proj_major, axis=2) < -ehl)
+    sep = sep | (jnp.min(proj_minor, axis=2) > ehw) | \
+        (jnp.max(proj_minor, axis=2) < -ehw)                   # [T, Mp, K]
+
+    # polygon edge-normal axes (candidate-independent intervals)
+    edges = jnp.roll(vt, -1, axis=2) - vt                      # [T, Mp, V, 2]
+    nx = -edges[..., 1]
+    ny = edges[..., 0]
+    # polygon's own projection interval on each normal: [T, Mp, V]
+    vert_proj = (nx[..., None] * vt[..., 0][:, :, None, :] +
+                 ny[..., None] * vt[..., 1][:, :, None, :])    # [T, Mp, Vax, Vv]
+    lo_n = jnp.min(vert_proj, axis=-1)
+    hi_n = jnp.max(vert_proj, axis=-1)
+    # ego center projection + projection radius on each normal
+    c_proj = (nx[..., None] * cx[:, None, None, :] +
+              ny[..., None] * cy[:, None, None, :])            # [T, Mp, V, K]
+    r_ego = (ehl * jnp.abs(nx[..., None] * ec + ny[..., None] * es) +
+             ehw * jnp.abs(-nx[..., None] * es + ny[..., None] * ec))
+    sep_n = (c_proj - r_ego > hi_n[..., None]) | \
+            (c_proj + r_ego < lo_n[..., None])
+    sep = sep | jnp.any(sep_n, axis=2)
+    return ~sep & pvalid_t[:, :, None]
 
 
 def obb_segment_overlap(center, theta, half_ext, seg_a, seg_b) -> jnp.ndarray:
@@ -400,7 +529,14 @@ def check_collisions_continuous(x: jnp.ndarray, y: jnp.ndarray,
                                 wb_rear_axle: jnp.ndarray) -> jnp.ndarray:
     """Swept (continuous) collision mask [K]: merged consecutive ego OBBs vs
     merged consecutive obstacle OBBs (reference continuous mode,
-    reactive_planner.py:1049-1058 with obstacle preprocessing at :240-244)."""
+    reactive_planner.py:1049-1058 with obstacle preprocessing at :240-244).
+
+    Like pycrcc's ``trajectory_preprocess_obb_sum``, non-rectangle occupancy
+    pairs are enclosed in covering OBBs: discs as their bounding squares
+    (half extents = radius) before merging, polygon pieces as the
+    axis-aligned box covering both steps' vertices — the same class of
+    over-approximation the reference's preprocessing applies.
+    """
     cx = x + wb_rear_axle * jnp.cos(theta)
     cy = y + wb_rear_axle * jnp.sin(theta)
     ego_center = jnp.stack([cx, cy], axis=-1)                         # [K, T, 2]
@@ -409,20 +545,44 @@ def check_collisions_continuous(x: jnp.ndarray, y: jnp.ndarray,
                          axis=-1)                                     # [K, 2]
     ego_c, ego_t, ego_h = merge_obb_pairs(ego_center, theta, ego_half)
 
-    if obstacles.pose.shape[0] == 0:
-        return jnp.zeros(x.shape[0], dtype=bool)
+    collides = jnp.zeros(x.shape[0], dtype=bool)
 
-    obs_c, obs_t, obs_h = merge_obb_pairs(
-        obstacles.pose[..., :2], obstacles.pose[..., 2], obstacles.half_ext)
-    pair_valid = obstacles.valid[:, :-1] & obstacles.valid[:, 1:]     # [M, T-1]
+    if obstacles.pose.shape[0] > 0:
+        half_ext = obstacles.half_ext
+        if obstacles.radius is not None:
+            r = obstacles.radius
+            half_ext = jnp.where((r > 0)[:, None],
+                                 jnp.stack([r, r], axis=-1), half_ext)
+        obs_c, obs_t, obs_h = merge_obb_pairs(
+            obstacles.pose[..., :2], obstacles.pose[..., 2], half_ext)
+        pair_valid = obstacles.valid[:, :-1] & obstacles.valid[:, 1:]  # [M, T-1]
 
-    # [K, T-1, M]
-    hit = obb_overlap(ego_c[:, :, None, :], ego_t[:, :, None],
-                      ego_h[:, :, None, :],
-                      obs_c.transpose(1, 0, 2)[None, :, :, :],
-                      obs_t.T[None, :, :], obs_h.transpose(1, 0, 2)[None, :, :, :])
-    hit = hit & pair_valid.T[None, :, :]
-    return jnp.any(hit, axis=(1, 2))
+        # [K, T-1, M]
+        hit = obb_overlap(ego_c[:, :, None, :], ego_t[:, :, None],
+                          ego_h[:, :, None, :],
+                          obs_c.transpose(1, 0, 2)[None, :, :, :],
+                          obs_t.T[None, :, :],
+                          obs_h.transpose(1, 0, 2)[None, :, :, :])
+        hit = hit & pair_valid.T[None, :, :]
+        collides = collides | jnp.any(hit, axis=(1, 2))
+
+    if obstacles.poly_verts is not None:
+        vt = obstacles.poly_verts                                 # [Mp, T, V, 2]
+        pair_min = jnp.minimum(vt[:, :-1], vt[:, 1:]).min(axis=2)  # [Mp, T-1, 2]
+        pair_max = jnp.maximum(vt[:, :-1], vt[:, 1:]).max(axis=2)
+        p_center = 0.5 * (pair_min + pair_max)
+        p_half = 0.5 * (pair_max - pair_min)
+        p_theta = jnp.zeros(p_half.shape[:-1], p_half.dtype)
+        pair_valid = obstacles.poly_valid[:, :-1] & obstacles.poly_valid[:, 1:]
+        hit = obb_overlap(ego_c[:, :, None, :], ego_t[:, :, None],
+                          ego_h[:, :, None, :],
+                          p_center.transpose(1, 0, 2)[None, :, :, :],
+                          p_theta.T[None, :, :],
+                          p_half.transpose(1, 0, 2)[None, :, :, :])
+        hit = hit & pair_valid.T[None, :, :]
+        collides = collides | jnp.any(hit, axis=(1, 2))
+
+    return collides
 
 
 def check_collisions(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
@@ -463,16 +623,32 @@ def check_collisions(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
         rel_cos = jnp.abs(e_cos * o_cos + e_sin * o_sin)
         rel_sin = jnp.abs(o_sin * e_cos - o_cos * e_sin)
 
-        sep = (jnp.abs(dx * e_cos + dy * e_sin) >
-               ehl + ohl * rel_cos + ohw * rel_sin)
-        sep = sep | (jnp.abs(-dx * e_sin + dy * e_cos) >
-                     ehw + ohl * rel_sin + ohw * rel_cos)
+        lx = jnp.abs(dx * e_cos + dy * e_sin)
+        ly = jnp.abs(-dx * e_sin + dy * e_cos)
+        sep = lx > ehl + ohl * rel_cos + ohw * rel_sin
+        sep = sep | (ly > ehw + ohl * rel_sin + ohw * rel_cos)
         sep = sep | (jnp.abs(dx * o_cos + dy * o_sin) >
                      ohl + ehl * rel_cos + ehw * rel_sin)
         sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
                      ohw + ehl * rel_sin + ehw * rel_cos)
-        hit = ~sep & obstacles.valid.T[:, :, None]
+        hit = ~sep
+        if obstacles.radius is not None:
+            # exact disc rows (closest-point test in the ego frame) — pycrcc
+            # collides exact circles, not their bounding squares
+            r = obstacles.radius[None, :, None]                  # [1, M, 1]
+            qx = jnp.maximum(lx - ehl, 0.0)
+            qy = jnp.maximum(ly - ehw, 0.0)
+            disc_hit = qx * qx + qy * qy <= r * r
+            hit = jnp.where(r > 0, disc_hit, hit)
+        hit = hit & obstacles.valid.T[:, :, None]
         collides = collides | jnp.any(hit, axis=(0, 1))
+
+    if obstacles.poly_verts is not None:
+        vt = obstacles.poly_verts.transpose(1, 0, 2, 3)          # [T, Mp, V, 2]
+        hit_p = _poly_obb_overlap_tmajor(
+            vt, obstacles.poly_valid.T, cx, cy,
+            jnp.cos(theta_t), jnp.sin(theta_t), ehl, ehw)
+        collides = collides | jnp.any(hit_p, axis=(0, 1))
 
     if boundary is not None and boundary.segments.shape[0] > 0:
         ego_center = jnp.stack([cx, cy], axis=-1)            # [T, K, 2]

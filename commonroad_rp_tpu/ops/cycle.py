@@ -129,10 +129,12 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
     feasible = rollout.feasible & goal_valid
     ok = feasible & ~collides
     inf = jnp.asarray(jnp.inf, dtype=costs.dtype)
-    masked = jnp.where(ok, costs, inf)
+    # non-finite costs (NaN/overflow) must not win the argmin: the
+    # reference's sorted iteration would skip past them to a finite winner
+    masked = jnp.where(ok & jnp.isfinite(costs), costs, inf)
     best_idx = jnp.argmin(masked).astype(jnp.int32)
     best_cost = masked[best_idx]
-    found = jnp.any(ok)
+    found = jnp.isfinite(best_cost)
 
     # goal-filtered candidates are removed from the bundle BEFORE the
     # kinematic check in the reference (reactive_planner.py:1076-1077), so
@@ -185,7 +187,8 @@ class FastLevelResult(NamedTuple):
     """
 
     found: jnp.ndarray            # scalar bool
-    scalars: jnp.ndarray          # [4] f32: best_idx, best_cost, n_inf_kin, n_coll
+    scalars: jnp.ndarray          # [5] f32: best_idx, best_cost, n_inf_kin,
+                                  #     n_coll, winner reroll-feasible flag
     costs: jnp.ndarray            # [K] masked costs (+inf infeasible/colliding)
     kin_costs: jnp.ndarray        # [K] kinematic-feasible raw costs
     optimal: jnp.ndarray          # [14, T] best candidate (CANDIDATE_FIELDS)
@@ -237,10 +240,14 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
     f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
     ref = f32(ref)
     veh = f32(veh)
+    assert obstacles.poly_verts is None, \
+        "fast path supports box/disc obstacles (facade gates polygon scenes)"
     obstacles = collision_ops.ObstacleArrays(
         pose=jnp.asarray(obstacles.pose, dtype),
         half_ext=jnp.asarray(obstacles.half_ext, dtype),
-        valid=jnp.asarray(obstacles.valid, bool))
+        valid=jnp.asarray(obstacles.valid, bool),
+        radius=None if obstacles.radius is None
+        else jnp.asarray(obstacles.radius, dtype))
     corridor = f32(corridor)
     coeffs_lon = jnp.asarray(coeffs_lon, dtype)
     coeffs_lat = jnp.asarray(coeffs_lat, dtype)
@@ -258,8 +265,12 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
         jnp.asarray(cost_params.desired_s, dtype) if has_s else None,
         n_steps=n_steps, check_flags=constraint_flags, interpret=interpret)
 
-    best_idx = jnp.argmin(masked).astype(jnp.int32)
-    best_cost = masked[best_idx]
+    # NaN costs must not win the argmin (reference sorted-iteration
+    # semantics); they stay NaN in the stats rows below so they are counted
+    # neither as colliding nor as kinematically infeasible, like the XLA path
+    sel = jnp.where(jnp.isnan(masked), jnp.inf, masked)
+    best_idx = jnp.argmin(sel).astype(jnp.int32)
+    best_cost = sel[best_idx]
     found = jnp.isfinite(best_cost)
 
     # statistics from the two cost rows (same semantics as evaluate_level):
@@ -271,9 +282,6 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
     n_coll = jnp.where(found,
                        jnp.sum(colliding & (kin < best_cost)),
                        jnp.sum(colliding)).astype(jnp.int32)
-    scalars = jnp.stack([best_idx.astype(dtype), best_cost,
-                         n_inf_kin.astype(dtype), n_coll.astype(dtype)])
-
     # winner re-roll (K = 1) for the [14, T] candidate pack
     cv, ca, ck, ckd, cy = constraint_flags
     ro = kinematics.rollout(
@@ -283,6 +291,13 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
         check_velocity=cv, check_acceleration=ca, check_kappa=ck,
         check_kappa_dot=ckd, check_yaw_rate=cy)
     optimal = jnp.stack([getattr(ro, f)[0] for f in CANDIDATE_FIELDS])
+
+    # 5th slot: the re-rolled winner's exact-semantics feasible flag — the
+    # kernel's _atan approximation (~1e-7) could in principle flip a
+    # boundary-tight verdict; the facade logs if the two disagree
+    scalars = jnp.stack([best_idx.astype(dtype), best_cost,
+                         n_inf_kin.astype(dtype), n_coll.astype(dtype),
+                         ro.feasible[0].astype(dtype)])
 
     return FastLevelResult(found=found, scalars=scalars, costs=masked,
                            kin_costs=kin, optimal=optimal)

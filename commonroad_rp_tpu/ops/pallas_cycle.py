@@ -37,6 +37,7 @@ from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
 _TILE_K = 256
 _LANE = 128
 _NUM_COLS = 12
+_OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
 
 # scalar-parameter slots (SMEM row)
 _NUM_SCALARS = 16
@@ -428,6 +429,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         ohl = obs_col(m, 3)
         ohw = obs_col(m, 4)
         valid = obs_col(m, 5) > 0.5
+        radius = obs_col(m, 6)
 
         o_cos = jnp.cos(otheta)
         o_sin = jnp.sin(otheta)
@@ -435,15 +437,24 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         dy = oy - ecy
         rel_cos = jnp.abs(e_cos * o_cos + e_sin * o_sin)
         rel_sin = jnp.abs(o_sin * e_cos - o_cos * e_sin)
-        sep = (jnp.abs(dx * e_cos + dy * e_sin) >
-               half_len + ohl * rel_cos + ohw * rel_sin)
-        sep = sep | (jnp.abs(-dx * e_sin + dy * e_cos) >
-                     half_wid + ohl * rel_sin + ohw * rel_cos)
+        lx = jnp.abs(dx * e_cos + dy * e_sin)
+        ly = jnp.abs(-dx * e_sin + dy * e_cos)
+        sep = lx > half_len + ohl * rel_cos + ohw * rel_sin
+        sep = sep | (ly > half_wid + ohl * rel_sin + ohw * rel_cos)
         sep = sep | (jnp.abs(dx * o_cos + dy * o_sin) >
                      ohl + half_len * rel_cos + half_wid * rel_sin)
         sep = sep | (jnp.abs(-dx * o_sin + dy * o_cos) >
                      ohw + half_len * rel_sin + half_wid * rel_cos)
-        collides = collides | jnp.any(valid & ~sep, axis=0, keepdims=True)
+        # exact disc rows (radius > 0, zero half extents): closest-point
+        # test in the ego frame, matching ops.collision.check_collisions.
+        # boolean select (a where on i1 vectors hits an unsupported Mosaic
+        # i8->i1 truncation)
+        qx = jnp.maximum(lx - half_len, 0.0)
+        qy = jnp.maximum(ly - half_wid, 0.0)
+        disc_hit = qx * qx + qy * qy <= radius * radius
+        is_disc = radius > 0.0
+        hit = (is_disc & disc_hit) | (~is_disc & ~sep)
+        collides = collides | jnp.any(valid & hit, axis=0, keepdims=True)
 
     # two [1, TILE] rows: masked cost (the selection row) and the
     # kinematic-feasible raw cost (statistics row — lets the facade fast path
@@ -508,12 +519,16 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     gv = jnp.pad(goal_valid.astype(dtype)[None, :], ((0, 0), (0, pad)))
 
     if M > 0:
+        radius = obstacles.radius if obstacles.radius is not None \
+            else jnp.zeros((M,), dtype)
         obs = jnp.concatenate(
             [obstacles.pose.astype(dtype),
              jnp.broadcast_to(obstacles.half_ext[:, None, :], (M, T, 2)).astype(dtype),
-             obstacles.valid.astype(dtype)[..., None]], axis=-1)   # [M, T, 6]
+             obstacles.valid.astype(dtype)[..., None],
+             jnp.broadcast_to(radius.astype(dtype)[:, None, None],
+                              (M, T, 1))], axis=-1)                # [M, T, 7]
     else:
-        obs = jnp.zeros((1, T, 6), dtype)
+        obs = jnp.zeros((1, T, _OBS_COLS), dtype)
 
     scalars = jnp.zeros((1, _NUM_SCALARS), dtype)
     values = [
@@ -561,7 +576,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(M, 1), T, 6), lambda i: (0, 0, 0),
+            pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
@@ -594,6 +609,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         desired_d: jnp.ndarray, w_a: jnp.ndarray,
                         ref_s_last: jnp.ndarray,
                         desired_s: jnp.ndarray | None = None,
+                        obs_radius: jnp.ndarray | None = None,
                         *, n_steps: int,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
@@ -607,6 +623,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
       packed_tables [F, P, 12] (pack each problem with ``pack_ref_tables``
       and sentinel-pad to a common P), obs_pose [F, M, T, 3],
       obs_half_ext [F, M, 2], obs_valid [F, M, T] (pad with valid=False),
+      obs_radius [F, M] optional (disc rows: radius > 0, half_ext (0, 0)),
       veh_stack [F, 8] (VehicleArrays leaves in field order),
       x0_orientation/low_vel/desired_speed/desired_d/w_a/ref_s_last [F].
 
@@ -632,13 +649,17 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     gv = jnp.pad(goal_valid.astype(dtype)[:, None, :], ((0, 0), (0, 0), (0, pad)))
 
     if M > 0:
+        if obs_radius is None:
+            obs_radius = jnp.zeros((F, M), dtype)
         obs = jnp.concatenate(
             [obs_pose.astype(dtype),
              jnp.broadcast_to(obs_half_ext[:, :, None, :],
                               (F, M, T, 2)).astype(dtype),
-             obs_valid.astype(dtype)[..., None]], axis=-1)       # [F, M, T, 6]
+             obs_valid.astype(dtype)[..., None],
+             jnp.broadcast_to(obs_radius.astype(dtype)[:, :, None, None],
+                              (F, M, T, 1))], axis=-1)           # [F, M, T, 7]
     else:
-        obs = jnp.zeros((F, 1, T, 6), dtype)
+        obs = jnp.zeros((F, 1, T, _OBS_COLS), dtype)
 
     scalars = jnp.zeros((F, 1, _NUM_SCALARS), dtype)
     veh_stack = veh_stack.astype(dtype)
@@ -690,7 +711,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max(M, 1), T, 6), lambda f, i: (f, 0, 0, 0),
+            pl.BlockSpec((1, max(M, 1), T, _OBS_COLS), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),

@@ -41,6 +41,7 @@ class FleetScene(NamedTuple):
     obs_pose: jnp.ndarray                  # [F, M, T_scene, 3]
     obs_half: jnp.ndarray                  # [F, M, 2]
     obs_valid: jnp.ndarray                 # [F, M, T_scene]
+    obs_radius: jnp.ndarray                # [F, M] disc radius (0 = OBB row)
     corridor_lo: jnp.ndarray               # [F, P] drivable band lower offset
     corridor_hi: jnp.ndarray               # [F, P] drivable band upper offset
     desired_speed: jnp.ndarray             # [F]
@@ -72,7 +73,7 @@ class CycleMetrics(NamedTuple):
 def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                           time_step, alive,
                           ref: frenet_ops.RefPathTables,
-                          obs_pose, obs_half, obs_valid,
+                          obs_pose, obs_half, obs_valid, obs_radius,
                           corridor_lo, corridor_hi, desired_speed,
                           veh: kin_ops.VehicleArrays,
                           *, static_grid: grid_ops.StaticGrid,
@@ -104,7 +105,8 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
     abs_step = time_step + jnp.arange(T, dtype=jnp.int32)
     window_valid = window_valid & (abs_step < obs_pose.shape[1])[None, :]
     obstacles = collision_ops.ObstacleArrays(pose=window_pose, half_ext=obs_half,
-                                             valid=window_valid)
+                                             valid=window_valid,
+                                             radius=obs_radius)
     collides = collision_ops.check_collisions(
         rollout.x, rollout.y, rollout.theta_gl, obstacles, None,
         veh.half_length, veh.half_width, veh.wb_rear_axle)
@@ -157,13 +159,13 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
         n_steps=n_steps, replan_offset=replan_offset,
         low_vel_threshold=low_vel_threshold, horizon=horizon)
     vcycle = jax.vmap(cycle,
-                      in_axes=(0,) * 13 + (None if veh is not None else 0,))
+                      in_axes=(0,) * 14 + (None if veh is not None else 0,))
 
     def local_step(carry: FleetCarry, scene: FleetScene):
         out_carry, (found, best_cost, x, y) = vcycle(
             carry.x0_lon, carry.x0_lat, carry.orientation, carry.velocity,
             carry.time_step, carry.alive, scene.ref, scene.obs_pose,
-            scene.obs_half, scene.obs_valid, scene.corridor_lo,
+            scene.obs_half, scene.obs_valid, scene.obs_radius, scene.corridor_lo,
             scene.corridor_hi, scene.desired_speed,
             veh if veh is not None else scene.veh)
         new_carry = FleetCarry(*out_carry)
@@ -184,7 +186,8 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                   FleetScene(ref=frenet_ops.RefPathTables(
                       *([P(FLEET_AXIS)] * 8)),
                       obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
-                      obs_valid=P(FLEET_AXIS), corridor_lo=P(FLEET_AXIS),
+                      obs_valid=P(FLEET_AXIS), obs_radius=P(FLEET_AXIS),
+                      corridor_lo=P(FLEET_AXIS),
                       corridor_hi=P(FLEET_AXIS),
                       desired_speed=P(FLEET_AXIS),
                       veh=kin_ops.VehicleArrays(*([P(FLEET_AXIS)] * 8)))),
@@ -260,21 +263,29 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
           for f in frenet_ops.RefPathTables._fields])
 
     def pad_obstacles(obs: collision_ops.ObstacleArrays):
+        if obs.poly_verts is not None:
+            raise ValueError(
+                "fleet scenes support box/disc obstacles; polygon obstacles "
+                "are exact on the facade path (ops.collision.check_collisions)")
         M = obs.pose.shape[0]
         T = obs.pose.shape[1] if M else 0
         pose = np.zeros((M_max, T_max, 3))
         half = np.ones((M_max, 2))
         valid = np.zeros((M_max, T_max), dtype=bool)
+        radius = np.zeros(M_max)
         if M:
             pose[:M, :T] = np.asarray(obs.pose)
             half[:M] = np.asarray(obs.half_ext)
             valid[:M, :T] = np.asarray(obs.valid)
-        return pose, half, valid
+            if obs.radius is not None:
+                radius[:M] = np.asarray(obs.radius)
+        return pose, half, valid, radius
 
     obs = [pad_obstacles(p["obstacles"]) for p in problems]
     obs_pose = jnp.asarray(np.stack([o[0] for o in obs]), dtype)
     obs_half = jnp.asarray(np.stack([o[1] for o in obs]), dtype)
     obs_valid = jnp.asarray(np.stack([o[2] for o in obs]))
+    obs_radius = jnp.asarray(np.stack([o[3] for o in obs]), dtype)
 
     def pad_corridor(c: collision_ops.CorridorArrays):
         n = c.d_lo.shape[0]
@@ -304,7 +315,8 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
 
     scene = FleetScene(
         ref=ref_stacked, obs_pose=obs_pose, obs_half=obs_half,
-        obs_valid=obs_valid, corridor_lo=corridor_lo, corridor_hi=corridor_hi,
+        obs_valid=obs_valid, obs_radius=obs_radius,
+        corridor_lo=corridor_lo, corridor_hi=corridor_hi,
         desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype),
         veh=veh_stacked)
     carry = FleetCarry(

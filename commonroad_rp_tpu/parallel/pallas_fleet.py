@@ -75,7 +75,9 @@ def make_pallas_replanning_scan(ref: RefPathTables,
             obstacles = ObstacleArrays(
                 pose=window_pose,
                 half_ext=obstacles_full.half_ext.astype(dtype),
-                valid=window_valid)
+                valid=window_valid,
+                radius=None if obstacles_full.radius is None
+                else obstacles_full.radius.astype(dtype))
         else:
             obstacles = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
                                        half_ext=jnp.zeros((0, 2), dtype),
@@ -197,6 +199,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             carry.orientation, dt, low_vel.astype(dtype),
             scene.desired_speed.astype(dtype), jnp.zeros(F, dtype),
             jnp.full(F, 5.0, dtype), ref_s_last,
+            obs_radius=scene.obs_radius.astype(dtype),
             n_steps=n_steps, interpret=interpret)          # [F, K] each
 
         best = jnp.argmin(costs, axis=1)                   # [F]
@@ -267,8 +270,8 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         carry_spec = FleetCarry(*([f] * 6))
         scene_spec = FleetScene(
             ref=frenet_ops.RefPathTables(*([f] * 8)),
-            obs_pose=f, obs_half=f, obs_valid=f, corridor_lo=f,
-            corridor_hi=f, desired_speed=f,
+            obs_pose=f, obs_half=f, obs_valid=f, obs_radius=f,
+            corridor_lo=f, corridor_hi=f, desired_speed=f,
             veh=kin_ops.VehicleArrays(*([f] * 8)))
         metrics_spec = (P(None, FLEET_AXIS), P(None, FLEET_AXIS),
                         P(None, FLEET_AXIS), P(None, FLEET_AXIS), P(None),

@@ -180,3 +180,84 @@ def interpolate_angle(x: float, x1: float, x2: float, y1: float, y2: float) -> f
     """
     delta = y2 - y1
     return make_valid_orientation(delta * (x - x1) / (x2 - x1) + y1)
+
+
+def polygon_signed_area(points: np.ndarray) -> float:
+    """Shoelace signed area (positive = counter-clockwise)."""
+    x, y = points[:, 0], points[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_is_convex(points: np.ndarray, tol: float = 1e-9) -> bool:
+    """True if the (non-self-intersecting) polygon is convex.
+
+    Cross products of consecutive edges must not change sign; collinear
+    vertices (zero cross) are allowed.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 4:
+        return True
+    edges = np.roll(pts, -1, axis=0) - pts
+    cross = edges[:, 0] * np.roll(edges, -1, axis=0)[:, 1] - \
+        edges[:, 1] * np.roll(edges, -1, axis=0)[:, 0]
+    scale = max(float(np.abs(cross).max()), 1.0)
+    cross = cross / scale
+    return bool(np.all(cross >= -tol) or np.all(cross <= tol))
+
+
+def decompose_polygon(points: np.ndarray) -> list:
+    """Split a simple polygon into convex pieces (numpy [V, 2] arrays).
+
+    Convex input passes through unchanged (one piece); concave polygons are
+    ear-clipped into triangles.  Plays the role of the exact C++ polygon
+    primitives behind pycrcc's create_collision_object dispatch
+    (reference: commonroad_rp/reactive_planner.py:236-239) — the union of
+    the convex pieces is exactly the input polygon, so SAT per piece is an
+    exact containment/overlap test for the whole shape.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    # drop a closing duplicate vertex if present
+    if len(pts) > 1 and np.allclose(pts[0], pts[-1]):
+        pts = pts[:-1]
+    if len(pts) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    if polygon_is_convex(pts):
+        return [pts]
+
+    # ear clipping (O(n^2)) on a counter-clockwise vertex ring
+    if polygon_signed_area(pts) < 0:
+        pts = pts[::-1].copy()
+    idx = list(range(len(pts)))
+    triangles = []
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1]) -
+                (a[1] - o[1]) * (b[0] - o[0]))
+
+    def point_in_triangle(p, a, b, c, eps=1e-12):
+        d1, d2, d3 = cross(a, b, p), cross(b, c, p), cross(c, a, p)
+        return d1 >= -eps and d2 >= -eps and d3 >= -eps
+
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        clipped = False
+        for k in range(n):
+            i_prev, i_cur, i_next = idx[k - 1], idx[k], idx[(k + 1) % n]
+            a, b, c = pts[i_prev], pts[i_cur], pts[i_next]
+            if cross(a, b, c) <= 1e-12:       # reflex or collinear: not an ear
+                continue
+            if any(point_in_triangle(pts[j], a, b, c)
+                   for j in idx if j not in (i_prev, i_cur, i_next)):
+                continue
+            triangles.append(np.stack([a, b, c]))
+            idx.pop(k)
+            clipped = True
+            break
+        if not clipped:      # degenerate ring (collinear runs): drop a vertex
+            idx.pop(0)
+    if len(idx) == 3:
+        triangles.append(np.stack([pts[idx[0]], pts[idx[1]], pts[idx[2]]]))
+    return triangles

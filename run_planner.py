@@ -58,14 +58,18 @@ def main():
         f"configurations/{args.scenario}.yaml", filename)
     config.update()
 
-    if args.fast:
-        config.debug.fast_scoring = True
-        config.debug.kernel_dtype = "float32"
+    if args.fast and args.dtype and args.dtype != "float32":
+        parser.error(f"--fast requires float32 kernels (the Pallas scorer "
+                     f"has no {args.dtype} layout); drop --dtype or --fast")
 
     # f64 is emulated (slow) on TPU; default the kernel dtype by backend
     if args.dtype:
         config.debug.kernel_dtype = args.dtype
     elif jax.default_backend() == "tpu":
+        config.debug.kernel_dtype = "float32"
+
+    if args.fast:
+        config.debug.fast_scoring = True
         config.debug.kernel_dtype = "float32"
 
     initialize_logger(config)

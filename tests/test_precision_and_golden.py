@@ -49,31 +49,83 @@ def test_f32_selection_matches_f64(repo_root):
     assert p32.infeasible_count_kinematics == p64.infeasible_count_kinematics
 
 
-def test_golden_first_cycle(repo_root):
-    """Pin the first-cycle selection on ZAM_Over-1_1 (detects any semantic
-    drift in grid/rollout/cost/collision).  Golden values recorded from the
-    f64 conformance path."""
-    planner = _planner(repo_root, "float64")
+# ---------------------------------------------------------------------------
+# pinned first-cycle goldens (all 4 scenarios, f64 conformance path)
+# ---------------------------------------------------------------------------
+
+# Literal constants recorded 2026-08-18 from the f64 XLA conformance path on
+# CPU (oracle-validated, tests/test_kinematics_conformance.py).  Any semantic
+# regression in grid generation, rollout, cost, constraint order, or
+# collision changes one of these values — unlike a same-run determinism
+# check, these cannot drift silently.
+_GOLDEN_FIRST_CYCLE = {
+    "ZAM_Over-1_1": dict(
+        cost=3733.4777003862982,
+        end_position=(67.81315751831903, 4.149639636126384),
+        end_velocity=19.508531368656065,
+        end_orientation=0.08752291224665676,
+        infeasible_kinematics=45, infeasible_collision=44,
+        reason_dict={"acceleration": 2, "kappa_dot": 43}),
+    "DEU_Test-1_1_T-1": dict(
+        cost=79.28082121119598,
+        end_position=(57.224441656399875, 2.0000000000000067),
+        end_velocity=11.606224999999998,
+        end_orientation=3.297691703707007e-16,
+        infeasible_kinematics=76, infeasible_collision=0,
+        reason_dict={"acceleration": 18, "kappa_dot": 52, "yaw_rate": 6}),
+    "ZAM-Ramp-1_1-T-1": dict(
+        cost=305733.87850203435,
+        end_position=(7.750000000000048, 1.7499999999999982),
+        end_velocity=5.0000000000001075,
+        end_orientation=-1.110223024625188e-16,
+        infeasible_kinematics=68, infeasible_collision=0,
+        reason_dict={"acceleration": 12, "kappa": 12, "kappa_dot": 44}),
+    "ZAM_Tjunction-1_42_T-1": dict(
+        cost=43.12236764498027,
+        end_position=(-0.6221825578422608, 0.021638369718770756),
+        end_velocity=5.240995600000005,
+        end_orientation=-0.03976196117155634,
+        infeasible_kinematics=63, infeasible_collision=0,
+        reason_dict={"kappa_dot": 63}),
+}
+
+
+def _planner_for(repo_root, name, dtype):
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / f"{name}.yaml", f"{name}.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario(f"{name}.xml")
+    config.update()
+    config.debug.kernel_dtype = dtype
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes().retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    return planner
+
+
+@pytest.mark.parametrize("name", sorted(_GOLDEN_FIRST_CYCLE))
+def test_golden_first_cycle(repo_root, name):
+    """Pin the first planning cycle of every bundled scenario against the
+    hard-coded f64 goldens (winner cost, end state, rejection counters, and
+    the per-constraint reason histogram)."""
+    golden = _GOLDEN_FIRST_CYCLE[name]
+    planner = _planner_for(repo_root, name, "float64")
     result = planner.plan()
     assert result is not None
     cart = result[0].state_list
 
-    golden = {
-        "cost": planner.optimal_cost,
-        "n_states": len(cart),
-        "end_position": cart[-1].position.copy(),
-        "end_velocity": cart[-1].velocity,
-        "infeasible_kinematics": planner.infeasible_count_kinematics,
-        "infeasible_collision": planner.infeasible_count_collision,
-    }
-    # structural invariants
-    assert golden["n_states"] == planner.N + 1
-    assert golden["infeasible_kinematics"] > 0
-    # determinism: replanning the identical cycle reproduces the selection
-    planner2 = _planner(repo_root, "float64")
-    result2 = planner2.plan()
-    assert planner2.optimal_cost == golden["cost"]
-    np.testing.assert_array_equal(result2[0].state_list[-1].position,
-                                  golden["end_position"])
-    assert planner2.infeasible_count_kinematics == golden["infeasible_kinematics"]
-    assert planner2.infeasible_count_collision == golden["infeasible_collision"]
+    assert len(cart) == planner.N + 1
+    np.testing.assert_allclose(planner.optimal_cost, golden["cost"],
+                               rtol=1e-9)
+    np.testing.assert_allclose(cart[-1].position, golden["end_position"],
+                               rtol=0, atol=1e-7)
+    np.testing.assert_allclose(cart[-1].velocity, golden["end_velocity"],
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(cart[-1].orientation,
+                               golden["end_orientation"], rtol=0, atol=1e-9)
+    assert planner.infeasible_count_kinematics == golden["infeasible_kinematics"]
+    assert planner.infeasible_count_collision == golden["infeasible_collision"]
+    got_reasons = {k: v for k, v in planner.infeasible_reason_dict.items() if v}
+    assert got_reasons == golden["reason_dict"]

@@ -79,9 +79,15 @@ def test_circle_and_polygon_obstacles(tmp_path):
     assert polygon.shape.points.shape == (3, 2)
 
     obstacles = co.compile_obstacles(scenario, 0, 5)
+    # circle -> exact disc row: zero half extents + radius
     half = np.asarray(obstacles.half_ext)
-    np.testing.assert_allclose(half[0], [2.5, 2.5])       # circle -> square OBB
-    np.testing.assert_allclose(half[1], [2.0, 1.5])       # polygon AABB halves
+    np.testing.assert_allclose(half[0], [0.0, 0.0])
+    np.testing.assert_allclose(np.asarray(obstacles.radius)[0], 2.5)
+    # polygon -> exact convex piece in the polygon group (one piece, 3 verts)
+    assert obstacles.poly_verts is not None
+    assert obstacles.poly_verts.shape[0] == 1
+    assert obstacles.poly_verts.shape[2] == 3
+    assert bool(np.all(np.asarray(obstacles.poly_valid)))
 
 
 def test_goal_shape_group(tmp_path):
