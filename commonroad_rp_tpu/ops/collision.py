@@ -215,16 +215,16 @@ def compile_road_boundary(scenario: Scenario, dtype=jnp.float64) -> BoundaryArra
     polygons = {l.lanelet_id: l.polygon for l in lanelets}
 
     def interior(seg_a: np.ndarray, seg_b: np.ndarray, own_id: int) -> bool:
-        """Segment lies inside some OTHER lanelet polygon (junction overlap).
-        Sampled at 1/4, 1/2, 3/4 to tolerate partially covered segments."""
-        probes = [0.5 * (seg_a + seg_b), 0.75 * seg_a + 0.25 * seg_b,
-                  0.25 * seg_a + 0.75 * seg_b]
-        for lanelet_id, poly in polygons.items():
-            if lanelet_id == own_id:
-                continue
-            if all(point_in_polygon(p, poly) for p in probes):
-                return True
-        return False
+        """Segment lies inside the UNION of other lanelet polygons (junction
+        overlap).  Each probe may be covered by a different lanelet — at a
+        T-junction a lanelet edge can cross several turning lanelets, none of
+        which contains the whole segment alone."""
+        others = [poly for lanelet_id, poly in polygons.items()
+                  if lanelet_id != own_id]
+        probes = [f * seg_a + (1.0 - f) * seg_b
+                  for f in (0.1, 0.3, 0.5, 0.7, 0.9)]
+        return all(any(point_in_polygon(p, poly) for poly in others)
+                   for p in probes)
 
     segments: List[np.ndarray] = []
     for lanelet in lanelets:

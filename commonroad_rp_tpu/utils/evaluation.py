@@ -217,11 +217,76 @@ def check_acceleration(config, state_list: List[TraceState],
     return correct
 
 
+def solution_collision_report(scenario, states: List[TraceState],
+                              length: float, width: float) -> dict:
+    """Per-step ego-obstacle and road-boundary hits of a recorded solution.
+
+    Batched equivalent of the CollisionException / boundary checks in
+    commonroad-dc's solution checker (reference consumer: valid_solution at
+    utility/evaluation.py:71).  Solution states are vehicle-CENTER positions
+    (create_full_solution_trajectory), so the ego OBB is placed directly on
+    them (no rear-axle shift).  Exact shape semantics match
+    ops.collision.check_collisions: OBB SAT / closest-point disc /
+    convex-piece polygon SAT per scenario time step.
+    """
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops import collision as co
+
+    T = len(states)
+    t0 = states[0].time_step
+    obstacles = co.compile_obstacles(scenario, t0, T - 1, 1)
+    boundary = co.compile_road_boundary(scenario)
+
+    center = jnp.asarray(np.stack([s.position for s in states]))   # [T, 2]
+    theta = jnp.asarray([s.orientation for s in states])           # [T]
+    half = jnp.asarray([0.5 * length, 0.5 * width])
+
+    hit_obstacle = np.zeros(T, dtype=bool)
+    if obstacles.pose.shape[0] > 0:
+        obs_pose = jnp.swapaxes(obstacles.pose, 0, 1)              # [T, M, 3]
+        box_hit = co.obb_overlap(
+            center[:, None, :], theta[:, None], half[None, None, :],
+            obs_pose[..., :2], obs_pose[..., 2],
+            obstacles.half_ext[None, :, :])                        # [T, M]
+        if obstacles.radius is not None:
+            disc_hit = co.disc_obb_overlap(
+                obs_pose[..., :2], obstacles.radius[None, :],
+                center[:, None, :], theta[:, None], half[None, None, :])
+            box_hit = jnp.where(obstacles.radius[None, :] > 0, disc_hit,
+                                box_hit)
+        box_hit = box_hit & obstacles.valid.T
+        hit_obstacle |= np.asarray(jnp.any(box_hit, axis=1))
+    if obstacles.poly_verts is not None:
+        poly_hit = co._poly_obb_overlap_tmajor(
+            jnp.swapaxes(obstacles.poly_verts, 0, 1),              # [T, Mp, V, 2]
+            obstacles.poly_valid.T, center[:, 0:1], center[:, 1:2],
+            jnp.cos(theta)[:, None], jnp.sin(theta)[:, None],
+            half[0], half[1])                                      # [T, Mp, 1]
+        hit_obstacle |= np.asarray(jnp.any(poly_hit[..., 0], axis=1))
+
+    hit_boundary = np.zeros(T, dtype=bool)
+    if boundary.segments.shape[0] > 0:
+        seg_hit = co.obb_segment_overlap(
+            center[:, None, :], theta[:, None], half[None, None, :],
+            boundary.segments[None, :, 0, :], boundary.segments[None, :, 1, :])
+        seg_hit = seg_hit & boundary.valid[None, :]
+        hit_boundary = np.asarray(jnp.any(seg_hit, axis=1))
+
+    return dict(
+        collision_free=not bool(hit_obstacle.any()),
+        collision_steps=[t0 + i for i in np.flatnonzero(hit_obstacle)],
+        boundary_ok=not bool(hit_boundary.any()),
+        boundary_steps=[t0 + i for i in np.flatnonzero(hit_boundary)])
+
+
 def valid_solution(scenario, planning_problem_set, solution: Solution
                    ) -> Tuple[bool, dict]:
     """CommonRoad solution validity (commonroad-dc solution_checker role,
-    evaluation.py:71): initial-state consistency, goal satisfaction, and
-    per-transition kinematic feasibility."""
+    evaluation.py:71): initial-state consistency, goal satisfaction,
+    per-transition kinematic feasibility, ego-obstacle collision, and
+    road-boundary compliance — with per-violation detail (colliding time
+    steps) like commonroad-dc's CollisionException."""
     results = {}
     overall = True
     for pps in solution.planning_problem_solutions:
@@ -239,9 +304,17 @@ def valid_solution(scenario, planning_problem_set, solution: Solution
             state_transition_feasibility(x0, x1, dynamics, scenario.dt)[0]
             for x0, x1 in zip(states[:-1], states[1:]))
 
-        ok = start_ok and goal_ok and feasible
+        params = dynamics.params
+        collision = solution_collision_report(scenario, states,
+                                              params.l, params.w)
+
+        # validity gates on obstacle collision like commonroad-dc's
+        # CollisionException (the raw scenario carries no boundary obstacle);
+        # the boundary report stays informational detail
+        ok = (start_ok and goal_ok and feasible and
+              collision["collision_free"])
         results[pps.planning_problem_id] = dict(
-            start=start_ok, goal=goal_ok, feasible=feasible)
+            start=start_ok, goal=goal_ok, feasible=feasible, **collision)
         overall = overall and ok
     return overall, results
 

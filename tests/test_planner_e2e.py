@@ -94,6 +94,109 @@ def test_deu_dynamic_obstacles(repo_root):
     assert planner.goal_reached()
 
 
+@pytest.fixture(scope="module")
+def tjunction_planner(repo_root):
+    """T-junction with 10 dynamic obstacles on the f64 XLA conformance path
+    (the hardest scenario: yield to crossing traffic, then turn)."""
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Tjunction-1_42_T-1.yaml",
+        "ZAM_Tjunction-1_42_T-1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Tjunction-1_42_T-1.xml")
+    config.update()
+    return _run_loop(config, max_steps=200)
+
+
+def test_tjunction_reaches_goal_xla(tjunction_planner):
+    assert tjunction_planner.goal_reached()
+    # pinned full-run golden: 146 driven steps (+ the initial state), the
+    # same count the fast-scoring path records (tests/test_fast_scoring.py)
+    assert len(tjunction_planner.record_state_list) == 147
+
+
+def test_tjunction_yields_to_traffic(tjunction_planner):
+    """The recorded run must be collision-free against all 10 dynamic
+    obstacles and stay on the road (exact per-step solution check)."""
+    from commonroad_rp_tpu.utils.evaluation import (
+        create_full_solution_trajectory, solution_collision_report)
+
+    config = tjunction_planner.config
+    traj = create_full_solution_trajectory(
+        config, tjunction_planner.record_state_list)
+    report = solution_collision_report(
+        config.scenario, traj.state_list,
+        config.vehicle.length, config.vehicle.width)
+    assert report["collision_free"], report["collision_steps"]
+    assert report["boundary_ok"], report["boundary_steps"]
+
+
+def test_ramp_reaches_goal_xla(repo_root):
+    """Standstill start (v=0: low-velocity mode + standstill fallback) on
+    the f64 XLA conformance path."""
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM-Ramp-1_1-T-1.yaml",
+        "ZAM-Ramp-1_1-T-1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM-Ramp-1_1-T-1.xml")
+    config.update()
+    planner = _run_loop(config, max_steps=100)
+    assert planner.goal_reached()
+    # pinned full-run golden: 43 driven steps + the initial state
+    assert len(planner.record_state_list) == 44
+
+
+# ---------------------------------------------------------------------------
+# solution-level validation (commonroad-dc solution_checker parity)
+# ---------------------------------------------------------------------------
+
+def test_valid_solution_over(over_planner):
+    """The recorded ZAM_Over run passes the full validity check, including
+    the ego-obstacle collision and road-boundary stages (reference:
+    utility/evaluation.py:71 via commonroad-dc's solution checker)."""
+    from commonroad_rp_tpu.utils.evaluation import (
+        create_full_solution_trajectory, create_planning_problem_solution,
+        valid_solution)
+
+    config = over_planner.config
+    traj = create_full_solution_trajectory(config,
+                                           over_planner.record_state_list)
+    solution = create_planning_problem_solution(
+        config, traj, config.scenario, config.planning_problem)
+    ok, detail = valid_solution(config.scenario,
+                                config.planning_problem_set, solution)
+    assert ok, detail
+    d = detail[config.planning_problem.planning_problem_id]
+    assert d["collision_free"] and d["boundary_ok"]
+
+
+def test_valid_solution_detects_collision(over_planner):
+    """A deliberately colliding solution (driving straight through the
+    parked obstacle at (59.9, 0.48)) must FAIL validation with the
+    colliding time steps reported — round 1 validated such a solution."""
+    from commonroad_rp_tpu.models.state import ReactivePlannerState
+    from commonroad_rp_tpu.models.trajectories import Trajectory
+    from commonroad_rp_tpu.utils.evaluation import (
+        create_planning_problem_solution, valid_solution)
+
+    config = over_planner.config
+    x0 = config.planning_problem.initial_state
+    v = x0.velocity
+    dt = config.planning.dt
+    states = [ReactivePlannerState(
+        time_step=i, position=x0.position + np.array([v * dt * i, 0.0]),
+        velocity=v, orientation=0.0, steering_angle=0.0, acceleration=0.0)
+        for i in range(60)]
+    solution = create_planning_problem_solution(
+        config, Trajectory(0, states), config.scenario,
+        config.planning_problem)
+    ok, detail = valid_solution(config.scenario,
+                                config.planning_problem_set, solution)
+    assert not ok
+    d = detail[config.planning_problem.planning_problem_id]
+    assert not d["collision_free"]
+    assert len(d["collision_steps"]) > 0
+
+
 def test_route_planner_all_scenarios(repo_root):
     from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
     for name in ["ZAM_Over-1_1", "DEU_Test-1_1_T-1", "ZAM_Tjunction-1_42_T-1",
