@@ -177,7 +177,7 @@ def main():
         n_scan = 20
 
         def body(v, _):
-            costs, _ = pallas_cycle._score_candidates_pallas(
+            costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
                 dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps)

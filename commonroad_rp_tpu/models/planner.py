@@ -361,11 +361,18 @@ class ReactivePlanner:
         pending = getattr(self, "_pending_reason_stats", None)
         if pending is None:
             return
-        masks_dev, goal_valid = pending
         self._pending_reason_stats = None
-        masks = np.asarray(masks_dev)
-        feasible = masks[0].astype(bool)
-        reasons = masks[2]
+        if pending[0] == "xla":
+            _, masks_dev, goal_valid = pending
+            masks = np.asarray(masks_dev)
+            feasible = masks[0].astype(bool)
+            reasons = masks[2]
+        else:                                   # fast path: kernel reason row
+            _, reasons_dev, kin_dev, goal_valid = pending
+            import jax as _jax
+            reasons, kin = _jax.device_get((reasons_dev, kin_dev))
+            reasons = np.asarray(reasons)
+            feasible = np.isfinite(np.asarray(kin))
         for code, name in kin_ops.REASON_NAMES.items():
             if name in self._infeasible_reason_dict:
                 self._infeasible_reason_dict[name] += int(
@@ -429,18 +436,26 @@ class ReactivePlanner:
         bundle_stats = None
         i = 1 if current_sampling_level is None else current_sampling_level
 
-        while optimal_trajectory is None and i < self.sampling_level:
-            with self.stage_timers.stage("grid_generation"):
-                batch = self._create_trajectory_bundle(x_0_lon, x_0_lat, i)
-            logger.info("Sampling level %d/%d: %d candidates", i + 1,
-                        self.sampling_level, batch.size)
-            optimal_trajectory, bundle_stats = self._get_optimal_trajectory(batch)
-            logger.info("Rejected %d kinematically infeasible, %d colliding",
-                        self._infeasible_count_kinematics,
-                        self._infeasible_count_collision)
-            if current_sampling_level is not None:
-                break
-            i += 1
+        # fused escalation (fast path): all levels in one device dispatch
+        fused = None
+        if current_sampling_level is None and self.config.debug.fast_scoring:
+            fused = self._plan_all_levels_fast(x_0_lon, x_0_lat, i)
+        if fused is not None:
+            optimal_trajectory, bundle_stats = fused
+        else:
+            while optimal_trajectory is None and i < self.sampling_level:
+                with self.stage_timers.stage("grid_generation"):
+                    batch = self._create_trajectory_bundle(x_0_lon, x_0_lat, i)
+                logger.info("Sampling level %d/%d: %d candidates", i + 1,
+                            self.sampling_level, batch.size)
+                optimal_trajectory, bundle_stats = \
+                    self._get_optimal_trajectory(batch)
+                logger.info("Rejected %d kinematically infeasible, %d colliding",
+                            self._infeasible_count_kinematics,
+                            self._infeasible_count_collision)
+                if current_sampling_level is not None:
+                    break
+                i += 1
 
         # standstill fallback (reactive_planner.py:638-653)
         if ((optimal_trajectory is None or
@@ -467,19 +482,11 @@ class ReactivePlanner:
                            "with given sampling configuration!")
         return planning_result
 
-    def _get_optimal_trajectory(self, batch: CandidateBatch):
-        """One level through the device program (replaces
-        reactive_planner.py:1065-1136)."""
-        self._reset_statistics()
+    def _scene_context(self):
+        """Per-cycle compiled-scene pack shared by the level paths: vehicle
+        arrays, obstacle window, boundary mode + corridor, constraint flags,
+        cost params, and whether the Pallas fast path's scope applies."""
         dtype = self._dtype
-
-        # goal_valid: filter_goals_behind in stopping mode (:1076-1077)
-        if self.config.sampling.longitudinal_mode == "stopping":
-            goal_valid = np.where(np.isnan(batch.lon_xd_pos), True,
-                                  batch.lon_x0_pos < batch.lon_xd_pos)
-        else:
-            goal_valid = np.ones(batch.size, dtype=bool)
-
         veh = self._vehicle_arrays()
         obstacles = self._cc.obstacles_for_window(
             self.x_0.time_step, self.N, self.config.planning.factor)
@@ -503,16 +510,45 @@ class ReactivePlanner:
                 getattr(cf, "desired_speed", None) or 0.0, dtype),
             desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
 
+        fast_ok = (self.config.debug.fast_scoring
+                   and self._dtype == jnp.float32
+                   and not self._draw_traj_set
+                   and not self.config.planning.continuous_collision_check
+                   and boundary_mode in ("corridor", "none")
+                   and obstacles.poly_verts is None
+                   and cf.structure[0] == "default" and cf.structure[1])
+        return dict(veh=veh, obstacles=obstacles, boundary=boundary,
+                    boundary_mode=boundary_mode, corridor=corridor,
+                    flags=flags, cost_params=cost_params, fast_ok=fast_ok)
+
+    def _goal_valid_mask(self, batch: CandidateBatch) -> np.ndarray:
+        """filter_goals_behind in stopping mode (:1076-1077)."""
+        if self.config.sampling.longitudinal_mode == "stopping":
+            return np.where(np.isnan(batch.lon_xd_pos), True,
+                            batch.lon_x0_pos < batch.lon_xd_pos)
+        return np.ones(batch.size, dtype=bool)
+
+    def _get_optimal_trajectory(self, batch: CandidateBatch):
+        """One level through the device program (replaces
+        reactive_planner.py:1065-1136)."""
+        self._reset_statistics()
+        dtype = self._dtype
+
+        goal_valid = self._goal_valid_mask(batch)
+        ctx = self._scene_context()
+        veh = ctx["veh"]
+        obstacles = ctx["obstacles"]
+        boundary = ctx["boundary"]
+        boundary_mode = ctx["boundary_mode"]
+        corridor = ctx["corridor"]
+        flags = ctx["flags"]
+        cost_params = ctx["cost_params"]
+        cf = self.cost_function
+
         # opt-in Pallas fast path (config.debug.fast_scoring) within the
         # fused kernel's scope; anything outside it falls through to the
         # XLA conformance program below
-        if (self.config.debug.fast_scoring
-                and self._dtype == jnp.float32
-                and not self._draw_traj_set
-                and not self.config.planning.continuous_collision_check
-                and boundary_mode in ("corridor", "none")
-                and obstacles.poly_verts is None
-                and cf.structure[0] == "default" and cf.structure[1]):
+        if ctx["fast_ok"]:
             return self._get_optimal_trajectory_fast(
                 batch, goal_valid, veh, obstacles, corridor, flags,
                 cost_params)
@@ -548,7 +584,7 @@ class ReactivePlanner:
         # candidates never enter the kinematic check (:1076-1077)
         self._infeasible_count_kinematics = int(scalars[2])
         self._infeasible_count_collision = int(scalars[3])
-        self._pending_reason_stats = (result.masks, goal_valid)
+        self._pending_reason_stats = ("xla", result.masks, goal_valid)
 
         want_details = (self._draw_traj_set or
                         logger.isEnabledFor(logging.DEBUG))
@@ -588,6 +624,93 @@ class ReactivePlanner:
                      optimal.cost)
         return optimal, bundle_stats
 
+    def _corridor_or_unbounded(self, corridor):
+        """The fast kernel always takes corridor bands; without a road
+        boundary the bands are unbounded."""
+        if corridor is not None:
+            return corridor
+        P = int(np.asarray(self._co.tables.s).shape[0])
+        return collision_ops.CorridorArrays(
+            d_lo=jnp.full((P,), -1e9, jnp.float32),
+            d_hi=jnp.full((P,), 1e9, jnp.float32))
+
+    def _plan_all_levels_fast(self, x_0_lon, x_0_lat, start_level: int):
+        """Fused level escalation on the Pallas scorer: every remaining
+        sampling level's bundle is scored in ONE device dispatch, and the
+        winner comes from the first level with a feasible candidate —
+        identical selections and statistics to the sequential escalation
+        loop (reactive_planner.py:616-636), at one kernel launch + one
+        readback per cycle instead of one per level.  Returns None when the
+        fast-path scope does not apply (caller falls back to the loop).
+        """
+        import jax as _jax
+
+        ctx = self._scene_context()
+        if not ctx["fast_ok"]:
+            return None
+
+        levels = list(range(start_level, self.sampling_level))
+        if not levels:
+            return None
+        batches = []
+        with self.stage_timers.stage("grid_generation"):
+            for level in levels:
+                batches.append(
+                    self._create_trajectory_bundle(x_0_lon, x_0_lat, level))
+        coeffs_lon = np.concatenate([b.coeffs_lon for b in batches])
+        coeffs_lat = np.concatenate([b.coeffs_lat for b in batches])
+        traj_len = np.concatenate([b.traj_len for b in batches])
+        goal_valid = np.concatenate([self._goal_valid_mask(b) for b in batches])
+        level_ids = np.concatenate([np.full(b.size, j, np.int32)
+                                    for j, b in enumerate(batches)])
+        logger.info("Fused levels %d..%d: %d candidates, one dispatch",
+                    start_level + 1, self.sampling_level, len(level_ids))
+
+        self._reset_statistics()
+        dtype = jnp.float32
+        corridor = self._corridor_or_unbounded(ctx["corridor"])
+        t0 = time.time()
+        result = cycle_ops.evaluate_levels_fast(
+            jnp.asarray(coeffs_lon, dtype), jnp.asarray(coeffs_lat, dtype),
+            jnp.asarray(traj_len), jnp.asarray(goal_valid),
+            jnp.asarray(level_ids), self._co.tables, ctx["veh"],
+            ctx["obstacles"], corridor,
+            jnp.asarray(self.x_0.orientation, dtype), ctx["cost_params"],
+            dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
+            cost_structure=self.cost_function.structure,
+            constraint_flags=ctx["flags"], n_levels=len(levels),
+            interpret=_jax.default_backend() != "tpu")
+        scalars, optimal_packed = _jax.device_get((result.scalars,
+                                                   result.optimal))
+        scalars = np.asarray(scalars)
+        found = bool(np.isfinite(scalars[1]))
+        self.stage_timers.record("device_cycle", time.time() - t0)
+        logger.debug("Fused device cycle took \t%.7fs", time.time() - t0)
+
+        stat_level = int(scalars[5])
+        self._infeasible_count_kinematics = int(scalars[2])
+        self._infeasible_count_collision = int(scalars[3])
+        if found and scalars[4] < 0.5:
+            logger.warning("fast path: selected winner fails the exact "
+                           "feasibility re-check; consider the XLA path "
+                           "(debug.fast_scoring: False) for this scenario")
+        level_mask = level_ids == stat_level
+        self._pending_reason_stats = ("fast", result.reasons,
+                                      result.kin_costs,
+                                      goal_valid & level_mask)
+        logger.info("Selected sampling level %d/%d (%d candidates)",
+                    start_level + stat_level + 1, self.sampling_level,
+                    batches[stat_level].size)
+        logger.info("Rejected %d kinematically infeasible, %d colliding",
+                    self._infeasible_count_kinematics,
+                    self._infeasible_count_collision)
+
+        feas_costs = None
+        if logger.isEnabledFor(logging.DEBUG):
+            kin_costs = np.asarray(result.kin_costs)
+            feas_costs = kin_costs[np.isfinite(kin_costs) & level_mask]
+        return self._finalize_level(found, scalars, optimal_packed, feas_costs)
+
     def _get_optimal_trajectory_fast(self, batch: CandidateBatch, goal_valid,
                                      veh, obstacles, corridor, flags,
                                      cost_params):
@@ -604,12 +727,7 @@ class ReactivePlanner:
         import jax
 
         dtype = jnp.float32
-        if corridor is None:
-            # no road boundary: unbounded drivable bands
-            P = int(np.asarray(self._co.tables.s).shape[0])
-            corridor = collision_ops.CorridorArrays(
-                d_lo=jnp.full((P,), -1e9, dtype),
-                d_hi=jnp.full((P,), 1e9, dtype))
+        corridor = self._corridor_or_unbounded(corridor)
 
         t0 = time.time()
         result = cycle_ops.evaluate_level_fast(
@@ -639,7 +757,8 @@ class ReactivePlanner:
             logger.warning("fast path: selected winner fails the exact "
                            "feasibility re-check; consider the XLA path "
                            "(debug.fast_scoring: False) for this scenario")
-        self._pending_reason_stats = None   # reason dict lost on fast path
+        self._pending_reason_stats = ("fast", result.reasons,
+                                      result.kin_costs, goal_valid)
 
         feas_costs = None
         if logger.isEnabledFor(logging.DEBUG):

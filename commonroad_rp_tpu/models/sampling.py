@@ -61,9 +61,16 @@ def quartic_coeffs_np(x_0: np.ndarray, v_d: np.ndarray, T: np.ndarray) -> np.nda
 
 def traj_length_steps(delta_tau: np.ndarray, dt: float) -> np.ndarray:
     """Number of evaluation steps: len(np.arange(0, round(dtau + dt, 5), dt))
-    (reactive_planner.py:733)."""
+    (reactive_planner.py:733).
+
+    np.arange's float length is exactly ceil(stop / step) in double
+    precision — including the cases where the division errs upward past an
+    integer (e.g. dt = 0.3: 0.9 / 0.3 = 3.0000000000000004 -> 4 steps).  An
+    earlier epsilon-guarded version (ceil(stop/dt - 1e-9)) silently produced
+    one step FEWER there; found by the adversarial oracle audit
+    (doc/conformance.md)."""
     stop = np.round(delta_tau + dt, 5)
-    return np.ceil(stop / dt - 1e-9).astype(np.int32)
+    return np.ceil(stop / dt).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------

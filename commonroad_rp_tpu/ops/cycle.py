@@ -177,20 +177,21 @@ def unpack_candidate(packed) -> dict:
 class FastLevelResult(NamedTuple):
     """Output of the Pallas fast-path level evaluation (facade opt-in).
 
-    Same host contract as :class:`LevelResult` minus the per-constraint
-    reason masks and dense state arrays — the trade the reference itself
-    makes in multiprocessing mode, where the per-reason dict is silently
-    lost in the worker processes (reactive_planner.py:962-967; SURVEY.md
-    section 5).  The rejection COUNTERS stay exact: they are reconstructed
-    from the kernel's two cost rows with the same lazy-iteration semantics
-    as :func:`evaluate_level`.
+    Same host contract as :class:`LevelResult` minus the dense state
+    arrays.  The rejection COUNTERS are exact (reconstructed from the
+    kernel's two cost rows with the same lazy-iteration semantics as
+    :func:`evaluate_level`) and the kernel emits a per-candidate
+    first-failure reason row, so the per-constraint reason dict is exact
+    too — unlike the reference, which silently loses it in multiprocessing
+    mode (reactive_planner.py:962-967; SURVEY.md section 5).
     """
 
     found: jnp.ndarray            # scalar bool
-    scalars: jnp.ndarray          # [5] f32: best_idx, best_cost, n_inf_kin,
-                                  #     n_coll, winner reroll-feasible flag
+    scalars: jnp.ndarray          # [6] f32: best_idx, best_cost, n_inf_kin,
+                                  #     n_coll, reroll-feasible flag, level
     costs: jnp.ndarray            # [K] masked costs (+inf infeasible/colliding)
     kin_costs: jnp.ndarray        # [K] kinematic-feasible raw costs
+    reasons: jnp.ndarray          # [K] int32 first-failure codes (REASON_*)
     optimal: jnp.ndarray          # [14, T] best candidate (CANDIDATE_FIELDS)
 
 
@@ -201,47 +202,118 @@ def evaluate_level_fast(*args, **kwargs) -> FastLevelResult:
         return _evaluate_level_fast(*args, **kwargs)
 
 
+def evaluate_levels_fast(*args, **kwargs):
+    """x64-off wrapper around :func:`_evaluate_levels_fast`."""
+    with jax.enable_x64(False):
+        return _evaluate_levels_fast(*args, **kwargs)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "n_steps", "low_vel_mode", "cost_structure",
-                     "constraint_flags", "interpret"))
-def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
-                         coeffs_lat: jnp.ndarray,
-                         traj_len: jnp.ndarray,
-                         goal_valid: jnp.ndarray,
-                         ref: frenet_ops.RefPathTables,
-                         veh: kinematics.VehicleArrays,
-                         obstacles: collision_ops.ObstacleArrays,
-                         corridor: collision_ops.CorridorArrays,
-                         x0_orientation: jnp.ndarray,
-                         cost_params: CostParams,
-                         *,
-                         dt: float,
-                         n_steps: int,
-                         low_vel_mode: bool,
-                         cost_structure: tuple,
-                         constraint_flags: tuple,
-                         interpret: bool = False) -> FastLevelResult:
-    """One sampling level on the fused Pallas scorer + a K=1 winner re-roll.
+                     "constraint_flags", "n_levels", "interpret"))
+def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
+                          coeffs_lat: jnp.ndarray,
+                          traj_len: jnp.ndarray,
+                          goal_valid: jnp.ndarray,
+                          level_ids: jnp.ndarray,
+                          ref: frenet_ops.RefPathTables,
+                          veh: kinematics.VehicleArrays,
+                          obstacles: collision_ops.ObstacleArrays,
+                          corridor: collision_ops.CorridorArrays,
+                          x0_orientation: jnp.ndarray,
+                          cost_params: CostParams,
+                          *,
+                          dt: float,
+                          n_steps: int,
+                          low_vel_mode: bool,
+                          cost_structure: tuple,
+                          constraint_flags: tuple,
+                          n_levels: int,
+                          interpret: bool = False) -> FastLevelResult:
+    """ALL sampling levels fused into ONE device dispatch (fast path).
 
-    Facade fast path (``config.debug.fast_scoring``): candidate states stay
-    in VMEM; only two [K] cost rows and the winner's [14, T] pack leave the
-    device.  Supported scope (the facade falls back to
-    :func:`evaluate_level` otherwise): float32, 'default' cost structure
-    with a velocity target, corridor or no road boundary, discrete
-    collision, no trajectory-set capture.
+    The candidate arrays are the concatenation of every level's batch with
+    ``level_ids`` [K] marking each candidate's level.  The escalation
+    semantics of the reference's while loop (reactive_planner.py:616-636) are
+    reproduced on device: the winner comes from the FIRST level with any
+    feasible collision-free candidate, and the statistics are the selected
+    level's (the last level's when nothing is found — the loop's final
+    iteration).  One kernel launch + one [6] scalar / [14, T] readback serve
+    the whole cycle, instead of one dispatch (and one compile signature)
+    per level.
     """
+    masked, kin, reasons = _score_union_fast(
+        coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh, obstacles,
+        corridor, x0_orientation, cost_params, dt=dt, n_steps=n_steps,
+        low_vel_mode=low_vel_mode, cost_structure=cost_structure,
+        constraint_flags=constraint_flags, interpret=interpret)
+    dtype = masked.dtype
+
+    sel = jnp.where(jnp.isnan(masked), jnp.inf, masked)
+    lv = level_ids.astype(jnp.int32)
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    best_per_level = []
+    found_per_level = []
+    for l in range(n_levels):                      # static, small
+        m = jnp.where(lv == l, sel, inf)
+        idx = jnp.argmin(m).astype(jnp.int32)
+        best_per_level.append(idx)
+        found_per_level.append(jnp.isfinite(m[idx]))
+    found_vec = jnp.stack(found_per_level)         # [L]
+    any_found = jnp.any(found_vec)
+    sel_level = jnp.argmax(found_vec).astype(jnp.int32)
+    # escalation runs to the last level before giving up (:616-636)
+    stat_level = jnp.where(any_found, sel_level, n_levels - 1)
+    best_idx = jnp.stack(best_per_level)[sel_level]
+    best_cost = jnp.where(any_found, sel[best_idx], inf)
+    found = any_found
+
+    level_mask = lv == stat_level
+    kin_inf = jnp.isinf(kin)
+    n_inf_kin = jnp.sum(goal_valid & kin_inf & level_mask).astype(jnp.int32)
+    colliding = ~kin_inf & jnp.isinf(masked) & level_mask
+    n_coll = jnp.where(found,
+                       jnp.sum(colliding & (kin < best_cost)),
+                       jnp.sum(colliding)).astype(jnp.int32)
+
+    cv, ca, ck, ckd, cy = constraint_flags
+    ro = kinematics.rollout(
+        coeffs_lon[best_idx][None, :].astype(jnp.float32),
+        coeffs_lat[best_idx][None, :].astype(jnp.float32),
+        traj_len[best_idx][None], ref, veh,
+        jnp.asarray(x0_orientation, jnp.float32),
+        dt, n_steps, low_vel_mode,
+        check_velocity=cv, check_acceleration=ca, check_kappa=ck,
+        check_kappa_dot=ckd, check_yaw_rate=cy)
+    optimal = jnp.stack([getattr(ro, f)[0] for f in CANDIDATE_FIELDS])
+
+    scalars = jnp.stack([best_idx.astype(dtype), best_cost,
+                         n_inf_kin.astype(dtype), n_coll.astype(dtype),
+                         ro.feasible[0].astype(dtype),
+                         stat_level.astype(dtype)])
+    return FastLevelResult(found=found, scalars=scalars, costs=masked,
+                           kin_costs=kin, reasons=reasons.astype(jnp.int32),
+                           optimal=optimal)
+
+
+def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,
+                      obstacles, corridor, x0_orientation, cost_params, *,
+                      dt, n_steps, low_vel_mode, cost_structure,
+                      constraint_flags, interpret):
+    """Shared trace-time prep + fused-kernel call (f32 casts, table packing)."""
     from commonroad_rp_tpu.ops import pallas_cycle
 
     dtype = jnp.float32
     kind, has_speed, has_s = cost_structure
     assert kind == "default" and has_speed, \
         "fast path supports the default cost structure with a speed target"
+    assert obstacles.poly_verts is None, \
+        "fast path supports box/disc obstacles (facade gates polygon scenes)"
     f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
     ref = f32(ref)
     veh = f32(veh)
-    assert obstacles.poly_verts is None, \
-        "fast path supports box/disc obstacles (facade gates polygon scenes)"
     obstacles = collision_ops.ObstacleArrays(
         pose=jnp.asarray(obstacles.pose, dtype),
         half_ext=jnp.asarray(obstacles.half_ext, dtype),
@@ -251,11 +323,11 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
     corridor = f32(corridor)
     coeffs_lon = jnp.asarray(coeffs_lon, dtype)
     coeffs_lat = jnp.asarray(coeffs_lat, dtype)
-    traj_len = jnp.asarray(traj_len)      # integer; the scorer casts internally
+    traj_len = jnp.asarray(traj_len)
 
     packed = pallas_cycle.pack_ref_tables(ref, corridor)
     ref_s_last = pallas_cycle.true_path_length(ref)
-    masked, kin = pallas_cycle._score_candidates_pallas(
+    return pallas_cycle._score_candidates_pallas(
         coeffs_lon, coeffs_lat, traj_len, goal_valid, packed, obstacles, veh,
         jnp.asarray(x0_orientation, dtype), dtype(dt),
         jnp.asarray(low_vel_mode),
@@ -265,39 +337,27 @@ def _evaluate_level_fast(coeffs_lon: jnp.ndarray,
         jnp.asarray(cost_params.desired_s, dtype) if has_s else None,
         n_steps=n_steps, check_flags=constraint_flags, interpret=interpret)
 
-    # NaN costs must not win the argmin (reference sorted-iteration
-    # semantics); they stay NaN in the stats rows below so they are counted
-    # neither as colliding nor as kinematically infeasible, like the XLA path
-    sel = jnp.where(jnp.isnan(masked), jnp.inf, masked)
-    best_idx = jnp.argmin(sel).astype(jnp.int32)
-    best_cost = sel[best_idx]
-    found = jnp.isfinite(best_cost)
 
-    # statistics from the two cost rows (same semantics as evaluate_level):
-    # goal-filtered candidates never enter the kinematic check, and the
-    # collision counter follows the reference's lazy sorted iteration
-    kin_inf = jnp.isinf(kin)
-    n_inf_kin = jnp.sum(goal_valid & kin_inf).astype(jnp.int32)
-    colliding = ~kin_inf & jnp.isinf(masked)
-    n_coll = jnp.where(found,
-                       jnp.sum(colliding & (kin < best_cost)),
-                       jnp.sum(colliding)).astype(jnp.int32)
-    # winner re-roll (K = 1) for the [14, T] candidate pack
-    cv, ca, ck, ckd, cy = constraint_flags
-    ro = kinematics.rollout(
-        coeffs_lon[best_idx][None, :], coeffs_lat[best_idx][None, :],
-        traj_len[best_idx][None], ref, veh, jnp.asarray(x0_orientation, dtype),
-        dt, n_steps, low_vel_mode,
-        check_velocity=cv, check_acceleration=ca, check_kappa=ck,
-        check_kappa_dot=ckd, check_yaw_rate=cy)
-    optimal = jnp.stack([getattr(ro, f)[0] for f in CANDIDATE_FIELDS])
+def _evaluate_level_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid,
+                         ref, veh, obstacles, corridor, x0_orientation,
+                         cost_params, *, dt, n_steps, low_vel_mode,
+                         cost_structure, constraint_flags,
+                         interpret=False) -> FastLevelResult:
+    """One sampling level on the fused Pallas scorer + a K=1 winner re-roll.
 
-    # 5th slot: the re-rolled winner's exact-semantics feasible flag — the
-    # kernel's _atan approximation (~1e-7) could in principle flip a
-    # boundary-tight verdict; the facade logs if the two disagree
-    scalars = jnp.stack([best_idx.astype(dtype), best_cost,
-                         n_inf_kin.astype(dtype), n_coll.astype(dtype),
-                         ro.feasible[0].astype(dtype)])
+    Facade fast path (``config.debug.fast_scoring``): candidate states stay
+    in VMEM; only three [K] rows and the winner's [14, T] pack leave the
+    device.  Supported scope (the facade falls back to
+    :func:`evaluate_level` otherwise): float32, 'default' cost structure
+    with a velocity target, corridor or no road boundary, discrete
+    collision, box/disc obstacles, no trajectory-set capture.
+    Single-level specialization of :func:`_evaluate_levels_fast`.
+    """
+    level_ids = jnp.zeros(coeffs_lon.shape[0], jnp.int32)
+    return _evaluate_levels_fast(
+        coeffs_lon, coeffs_lat, traj_len, goal_valid, level_ids, ref, veh,
+        obstacles, corridor, x0_orientation, cost_params, dt=dt,
+        n_steps=n_steps, low_vel_mode=low_vel_mode,
+        cost_structure=cost_structure, constraint_flags=constraint_flags,
+        n_levels=1, interpret=interpret)
 
-    return FastLevelResult(found=found, scalars=scalars, costs=masked,
-                           kin_costs=kin, optimal=optimal)

@@ -6,14 +6,12 @@ recomputed afterwards for a single candidate).  This kernel fuses polynomial
 rollout, the Werling transform (with MXU one-hot table gathers), the
 kinematic constraint masks, Frenet->Cartesian conversion, the cost
 reduction, the corridor road-boundary check, and the obstacle OBB SAT into
-ONE VMEM-resident program per candidate tile, emitting two [K] rows (masked
-selection costs + kinematic-feasible statistics costs) — candidate states
-never touch HBM.
+ONE VMEM-resident program per candidate tile, emitting three [K] rows
+(masked selection costs, kinematic-feasible statistics costs, first-failure
+reason codes) — candidate states never touch HBM.
 
-Scope: fleet-path and facade fast-path scoring (no per-constraint reason
-statistics — the facade's conformance path keeps the XLA kernels).
-float32 only; do not trace under x64 values.  Layout: T-major
-([T, TILE_K]) like ops.kinematics.
+Scope: fleet-path and facade fast-path scoring.  float32 only; do not trace
+under x64 values.  Layout: T-major ([T, TILE_K]) like ops.kinematics.
 
 Packed reference-table columns (``pack_ref_tables``):
     0: s      1: theta   2: curv   3: curv_d   4: d_lo   5: d_hi
@@ -155,11 +153,11 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
-                    pair_t2_ref, obs_ref, cost_ref, kin_cost_ref,
+                    pair_t2_ref, obs_ref, cost_ref, kin_cost_ref, reason_ref,
                     *, n_steps: int, n_obstacles: int,
                     check_flags: tuple, has_desired_s: bool = False):
     """Single-problem kernel shell."""
-    cost_ref[:], kin_cost_ref[:] = _scoring_body(
+    cost_ref[:], kin_cost_ref[:], reason_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
@@ -172,12 +170,12 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
                           pair_t1_ref, pair_t2_ref, obs_ref, cost_ref,
-                          kin_cost_ref,
+                          kin_cost_ref, reason_ref,
                           *, n_steps: int, n_obstacles: int,
                           check_flags: tuple, has_desired_s: bool = False):
     """Fleet kernel shell: every ref carries a leading per-problem block axis
     of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
-    cost_ref[0], kin_cost_ref[0] = _scoring_body(
+    cost_ref[0], kin_cost_ref[0], reason_ref[0] = _scoring_body(
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
         goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
@@ -237,8 +235,9 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     s_dot = jnp.where(jnp.abs(s_dot) < _EPS, 0.0, s_dot)
     d_dot = jnp.where(jnp.abs(d_dot) < _EPS, 0.0, d_dot)
 
-    prefiltered = (jnp.any(jnp.abs(s_ddot) > a_max, axis=0, keepdims=True) |
-                   jnp.any(s_dot < -_EPS, axis=0, keepdims=True))  # [1, TILE]
+    pre_acc = jnp.any(jnp.abs(s_ddot) > a_max, axis=0, keepdims=True)
+    pre_vel = jnp.any(s_dot < -_EPS, axis=0, keepdims=True)
+    prefiltered = pre_acc | pre_vel                                # [1, TILE]
 
     # ---- table gathers per time chunk (MXU one-hot), strictly 2-D --------
     # one [16, P] x [P, TILE] matmul per step (exact 3-term bf16 split):
@@ -304,33 +303,55 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
          (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
           (k_r_d * d + k_r * dp)))
 
-    # ---- constraint masks -------------------------------------------------
+    # ---- constraint masks + first-failure reason --------------------------
+    # reason semantics mirror ops.kinematics.rollout: flat priority index
+    # step * 5 + constraint_rank, first (step, rank) violation wins; the
+    # rank IS the reason code (REASON_VELOCITY..REASON_ACCELERATION = 0..4)
     cv, ca_f, ck, ckd, cy = check_flags
-    viol = jnp.zeros((T, TILE), dtype=jnp.bool_)
     first_row = step < 1.0
+    big = jnp.float32(1e9)
+    min_flat = jnp.full((1, TILE), big, jnp.float32)
+
+    def track(viol_c, rank):
+        flat = step * 5.0 + jnp.float32(rank)
+        masked = jnp.where(viol_c & active, flat, big)
+        return jnp.min(masked, axis=0, keepdims=True)
+
     if cv:
-        viol = viol | (v < -_EPS)
+        min_flat = jnp.minimum(min_flat, track(v < -_EPS, 0))
     if ck:
-        viol = viol | (jnp.abs(kappa_gl) > kappa_max)
+        min_flat = jnp.minimum(min_flat, track(jnp.abs(kappa_gl) > kappa_max, 1))
     if cy:
         prev_theta = jnp.concatenate([theta_gl[:1], theta_gl[:-1]], axis=0)
         yaw = jnp.where(first_row, 0.0, (theta_gl - prev_theta) / dt)
         yaw_r = jnp.round(yaw * 1e5) / 1e5
-        viol = viol | (jnp.abs(yaw_r) > kappa_max * v)
+        min_flat = jnp.minimum(min_flat, track(jnp.abs(yaw_r) > kappa_max * v, 2))
     if ckd:
         steer = _atan(wheelbase * kappa_gl)
         kd_max = v_delta_max / (wheelbase * jnp.cos(steer) ** 2)
         prev_k = jnp.concatenate([kappa_gl[:1], kappa_gl[:-1]], axis=0)
         kd = jnp.where(first_row, 0.0, (kappa_gl - prev_k) / dt)
-        viol = viol | (jnp.abs(kd) > kd_max)
+        min_flat = jnp.minimum(min_flat, track(jnp.abs(kd) > kd_max, 3))
     if ca_f:
         v_safe = jnp.where(v > v_switch, v, 1.0)
         a_hi = jnp.where(v > v_switch, a_max * v_switch / v_safe, a_max)
-        viol = viol | (a < -a_max) | (a > a_hi)
-    kin_feasible = ~prefiltered & ~jnp.any(viol & active, axis=0, keepdims=True)
+        min_flat = jnp.minimum(min_flat, track((a < -a_max) | (a > a_hi), 4))
+
+    any_viol = min_flat < big
+    kin_feasible = ~prefiltered & ~any_viol
     domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0,
                         keepdims=True)
     feasible = kin_feasible & domain_ok & (goal_valid_row > 0.5)  # [1, TILE]
+
+    # first-failure reason row (kinematics.rollout:257-279 ordering):
+    # prefilter reason beats the scan; DOMAIN only for kinematically
+    # feasible candidates; -1 = feasible
+    # exact-integer f32 division (NOT * 0.2, which is inexact)
+    scan_rank = min_flat - 5.0 * jnp.floor(min_flat / 5.0)
+    reason = jnp.where(any_viol, scan_rank, jnp.float32(-1.0))
+    pre_reason = jnp.where(pre_acc, jnp.float32(4.0), jnp.float32(0.0))
+    reason = jnp.where(prefiltered, pre_reason, reason)
+    reason = jnp.where(kin_feasible & ~domain_ok, jnp.float32(5.0), reason)
 
     # ---- enlarge (constant-acceleration extension) ------------------------
     ext = ~active
@@ -462,7 +483,8 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # lazy-iteration collision count, without the [K, T] state arrays)
     inf = jnp.float32(np.inf)
     return (jnp.where(feasible & ~collides, costs, inf),
-            jnp.where(feasible, costs, inf))
+            jnp.where(feasible, costs, inf),
+            reason)
 
 
 def score_candidates_pallas(*args, **kwargs):
@@ -555,6 +577,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                           n_obstacles=M, check_flags=check_flags,
                           has_desired_s=desired_s is not None),
         out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
+                   jax.ShapeDtypeStruct((1, K_pad), dtype),
                    jax.ShapeDtypeStruct((1, K_pad), dtype)),
         grid=grid,
         in_specs=[
@@ -582,10 +605,12 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         out_specs=(pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs)
-    return out[0][0, :K], out[1][0, :K]
+    return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
 
@@ -690,6 +715,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                           n_obstacles=M, check_flags=check_flags,
                           has_desired_s=has_desired_s),
         out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+                   jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
                    jax.ShapeDtypeStruct((F, 1, K_pad), dtype)),
         grid=grid,
         in_specs=[
@@ -717,10 +743,12 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs)
-    return out[0][:, 0, :K], out[1][:, 0, :K]
+    return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 
 def pack_veh_stack(veh: VehicleArrays) -> jnp.ndarray:

@@ -83,7 +83,7 @@ def make_pallas_replanning_scan(ref: RefPathTables,
                                        half_ext=jnp.zeros((0, 2), dtype),
                                        valid=jnp.zeros((0, T), dtype=bool))
 
-        costs, _ = pallas_cycle._score_candidates_pallas(
+        costs, _, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
             carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
             dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps,
@@ -193,7 +193,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         obs_pose_w, obs_valid_w = jax.vmap(window)(
             scene.obs_pose, scene.obs_valid, carry.time_step)
 
-        costs, kin_costs = pallas_cycle._score_fleet_pallas(
+        costs, kin_costs, _ = pallas_cycle._score_fleet_pallas(
             cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
             obs_pose_w, scene.obs_half, obs_valid_w, veh_stack,
             carry.orientation, dt, low_vel.astype(dtype),

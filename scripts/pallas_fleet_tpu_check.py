@@ -120,7 +120,7 @@ def main():
         carry.orientation.astype(dtype), dt,
         jnp.zeros(F, dtype), scene.desired_speed.astype(dtype),
         jnp.zeros(F, dtype), jnp.full(F, 5.0, dtype), ref_s_last,
-        n_steps=n_steps)], axis=1)     # [F, 2, K]: masked + kin-cost rows
+        n_steps=n_steps)], axis=1)   # [F, 3, K]: masked + kin + reason rows
 
     mismatches = 0
     for f in range(F):
@@ -135,7 +135,7 @@ def main():
             veh_f, carry.orientation[f].astype(dtype), dt,
             jnp.asarray(False), scene.desired_speed[f].astype(dtype),
             jnp.float32(0.0), jnp.float32(5.0), ref_s_last[f],
-            n_steps=n_steps)])          # [2, K]
+            n_steps=n_steps)])          # [3, K]
         if not np.array_equal(got[f], want, equal_nan=True):
             # NaN == NaN counts as agreement; report (row, candidate) pairs
             diff = (got[f] != want) & ~(np.isnan(got[f]) & np.isnan(want))

@@ -70,11 +70,15 @@ def test_fast_scoring_counters_match(both_paths):
         ref_planner.optimal_cost, rel=1e-5)
 
 
-def test_fast_scoring_reason_dict_lost(both_paths):
-    """Documented trade: per-constraint reasons unavailable (all zero),
-    mirroring the reference's multiproc statistics loss."""
-    _, (fast_planner, _) = both_paths
-    assert all(v == 0 for v in fast_planner.infeasible_reason_dict.values())
+def test_fast_scoring_reason_dict_matches_xla(both_paths):
+    """The kernel's first-failure reason row reconstructs the per-constraint
+    reason dict exactly (the reference LOSES it in multiprocessing mode,
+    reactive_planner.py:962-967 — this path beats that)."""
+    (ref_planner, _), (fast_planner, _) = both_paths
+    want = ref_planner.infeasible_reason_dict
+    got = fast_planner.infeasible_reason_dict
+    assert got == want
+    assert sum(got.values()) > 0, "degenerate: nothing rejected"
 
 
 def test_fast_scoring_full_loop_reaches_goal(repo_root):
@@ -162,3 +166,99 @@ def test_fast_scoring_no_feasible_candidates_returns_none(repo_root):
     result = planner.plan()
     assert result is None
     assert planner.infeasible_count_collision > 0
+
+
+def test_fused_levels_escalation_unit():
+    """evaluate_levels_fast: when level 0 has no collision-free candidate,
+    the winner and statistics must come from level 1 — identical to running
+    the levels sequentially (reference escalation, reactive_planner.py:616)."""
+    import jax
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops import collision as co
+    from commonroad_rp_tpu.ops import cycle as cycle_ops
+    from commonroad_rp_tpu.ops import frenet as frenet_ops
+    from commonroad_rp_tpu.ops import kinematics as kin_ops
+    from commonroad_rp_tpu.ops.polynomial import quartic_coeffs, quintic_coeffs
+
+    with jax.enable_x64(False):
+        dtype = jnp.float32
+        n = 200
+        s_ref = np.linspace(0.0, 120.0, n)
+        ref = frenet_ops.RefPathTables(
+            points=jnp.asarray(np.stack([s_ref, np.zeros(n)], 1), dtype),
+            s=jnp.asarray(s_ref, dtype), theta=jnp.zeros(n, dtype),
+            curv=jnp.zeros(n, dtype), curv_d=jnp.zeros(n, dtype),
+            curv_dd=jnp.zeros(n, dtype),
+            tangent=jnp.asarray(np.tile([1.0, 0.0], (n, 1)), dtype),
+            normal=jnp.asarray(np.tile([0.0, 1.0], (n, 1)), dtype))
+        veh = kin_ops.VehicleArrays(
+            wheelbase=dtype(2.5), wb_rear_axle=dtype(1.4), a_max=dtype(8.0),
+            v_switch=dtype(7.3), kappa_max=dtype(0.2), v_delta_max=dtype(0.4),
+            half_length=dtype(2.2), half_width=dtype(0.9))
+        n_steps, dt = 20, 0.1
+        horizon = n_steps * dt
+
+        def lat_fan(d_ends):
+            K = len(d_ends)
+            x0 = np.zeros((K, 3))
+            xd = np.stack([d_ends, np.zeros(K), np.zeros(K)], 1)
+            return np.asarray(quintic_coeffs(jnp.asarray(x0), jnp.asarray(xd),
+                                             jnp.full(K, horizon)))
+
+        # wall ahead (x in [14, 20], |d| <= 0.5): level 0 samples only
+        # d in [-0.5, 0.5] (every candidate collides), level 1 adds the
+        # kinematically feasible escapes d = +-2.0
+        d0 = np.linspace(-0.5, 0.5, 5)
+        d1 = np.concatenate([np.linspace(-0.5, 0.5, 5), [-2.0, 2.0]])
+        lon1 = np.asarray(quartic_coeffs(jnp.asarray([[0.0, 10.0, 0.0]]),
+                                         jnp.asarray([10.0]),
+                                         jnp.asarray([horizon])))
+        c_lat = np.concatenate([lat_fan(d0), lat_fan(d1)])
+        K = len(c_lat)
+        c_lon = np.tile(lon1, (K, 1))
+        traj_len = jnp.full((K,), n_steps + 1, jnp.int32)
+        level_ids = np.concatenate([np.zeros(len(d0), np.int32),
+                                    np.ones(len(d1), np.int32)])
+
+        obstacles = co.ObstacleArrays(
+            pose=jnp.asarray(np.tile([17.0, 0.0, 0.0], (1, n_steps + 1, 1)),
+                             dtype),
+            half_ext=jnp.asarray([[3.0, 0.5]], dtype),
+            valid=jnp.ones((1, n_steps + 1), dtype=bool))
+        corridor = co.CorridorArrays(d_lo=jnp.full((n,), -1e9, dtype),
+                                     d_hi=jnp.full((n,), 1e9, dtype))
+        cost_params = cycle_ops.CostParams(
+            w_a=dtype(5.0), desired_d=dtype(0.0), desired_speed=dtype(10.0),
+            desired_s=dtype(0.0))
+        kwargs = dict(dt=dt, n_steps=n_steps, low_vel_mode=False,
+                      cost_structure=("default", True, False),
+                      constraint_flags=(True,) * 5, interpret=True)
+
+        fused = cycle_ops.evaluate_levels_fast(
+            jnp.asarray(c_lon, dtype), jnp.asarray(c_lat, dtype), traj_len,
+            jnp.ones(K, dtype=bool), jnp.asarray(level_ids), ref, veh,
+            obstacles, corridor, dtype(0.0), cost_params, n_levels=2,
+            **kwargs)
+        scalars = np.asarray(fused.scalars)
+        assert bool(np.asarray(fused.found))
+        assert int(scalars[5]) == 1                       # escalated to level 1
+
+        # sequential reference: level 1's slice alone
+        sl = slice(len(d0), K)
+        single = cycle_ops.evaluate_level_fast(
+            jnp.asarray(c_lon[sl], dtype), jnp.asarray(c_lat[sl], dtype),
+            traj_len[sl], jnp.ones(len(d1), dtype=bool), ref, veh,
+            obstacles, corridor, dtype(0.0), cost_params, **kwargs)
+        s_single = np.asarray(single.scalars)
+        assert int(scalars[0]) - len(d0) == int(s_single[0])  # same winner
+        assert scalars[1] == s_single[1]                      # same cost
+        assert scalars[2] == s_single[2] and scalars[3] == s_single[3]
+
+        # level 0 alone finds nothing (the escalation premise)
+        lvl0 = cycle_ops.evaluate_level_fast(
+            jnp.asarray(c_lon[:len(d0)], dtype),
+            jnp.asarray(c_lat[:len(d0)], dtype), traj_len[:len(d0)],
+            jnp.ones(len(d0), dtype=bool), ref, veh, obstacles, corridor,
+            dtype(0.0), cost_params, **kwargs)
+        assert not bool(np.asarray(lvl0.found))

@@ -84,7 +84,7 @@ def _xla_masked_costs(cfg):
 
 def _pallas_masked_costs(cfg):
     packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
-    masked, kin = pallas_cycle.score_candidates_pallas(
+    masked, kin, reasons = pallas_cycle.score_candidates_pallas(
         cfg["cl"], cfg["ca"], cfg["tl"],
         jnp.ones(cfg["cl"].shape[0], dtype=bool), packed, cfg["obstacles"],
         cfg["veh"], cfg["x0_theta"], cfg["dt"], cfg["low_vel"],

@@ -120,3 +120,21 @@ def test_evaluate_state_clamps_like_reference():
     inside = poly.evaluate_state_at_tau(c, jnp.asarray(2.0), 0.0, 2.0)
     beyond = poly.evaluate_state_at_tau(c, jnp.asarray(3.5), 0.0, 2.0)
     np.testing.assert_allclose(np.asarray(beyond), np.asarray(inside), atol=1e-12)
+
+
+def test_traj_length_steps_replicates_numpy_arange():
+    """traj_length_steps must equal len(np.arange(0, round(dtau+dt,5), dt))
+    for EVERY dt, including ones where the fp division errs upward past an
+    integer (dt=0.3) — the reference derives traj_len from that arange
+    (reactive_planner.py:733), so any epsilon guard diverges."""
+    import numpy as np
+
+    from commonroad_rp_tpu.models.sampling import traj_length_steps
+
+    for dt in (0.05, 0.1, 0.2, 0.25, 0.3, 0.02, 0.04):
+        taus = [k * dt * 0.5 + 0.13 for k in range(1, 60)] + \
+               [n * dt for n in range(2, 40)]
+        for dtau in taus:
+            want = len(np.arange(0, np.round(dtau + dt, 5), dt))
+            got = int(traj_length_steps(np.asarray([dtau]), dt)[0])
+            assert got == want, (dt, dtau, want, got)
