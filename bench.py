@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--pallas-fleet-probe", action="store_true",
                         help="internal: measure only the fleet-batched pallas "
                              "replanning scan (watchdog subprocess)")
+    parser.add_argument("--pallas-t61-probe", action="store_true",
+                        help="internal: measure the pallas scorer at the "
+                             "default 6 s horizon (N=60, T=61)")
     parser.add_argument("--pallas-timeout", type=float, default=900.0,
                         help="seconds to allow the pallas-scorer probe "
                              "(remote-compile latency is highly variable)")
@@ -108,7 +111,8 @@ def main():
                       scene.obs_valid[0], scene.corridor_lo[0],
                       scene.corridor_hi[0], scene.desired_speed[0])
 
-    probe_child = args.pallas_probe or args.pallas_fleet_probe
+    probe_child = (args.pallas_probe or args.pallas_fleet_probe
+                   or args.pallas_t61_probe)
     if not probe_child:
         # warm-up / compile
         t0 = time.time()
@@ -199,6 +203,59 @@ def main():
         jax.block_until_ready(out)
         return K / ((time.time() - t_start) / reps / n_scan)
 
+    def _measure_pallas_t61():
+        # default-config horizon (config.py time_steps_computation = 60,
+        # reference config.py:112-115): T = 61 rows per candidate tile —
+        # the worst-case VMEM footprint of the bundled configs
+        from commonroad_rp_tpu.ops import collision as collision_ops
+        from commonroad_rp_tpu.ops import pallas_cycle
+
+        n61 = 60
+        problem61 = graft._build_problem(dtype, n61)
+        scene61, carry61 = fleet_ops.build_fleet_scene([problem61], n61,
+                                                       dtype=dtype)
+        grid61 = grid_ops.make_static_grid(
+            level=3, t_min=0.4, horizon=n61 * dt, dt=dt, d_min=-3.0,
+            d_max=3.0, num_levels=4)
+        K61 = grid61.size
+        take1 = lambda tree: type(tree)(*[leaf[0] for leaf in tree])
+        ref1 = take1(scene61.ref)
+        corridor1 = collision_ops.CorridorArrays(
+            d_lo=scene61.corridor_lo[0], d_hi=scene61.corridor_hi[0])
+        packed = pallas_cycle.pack_ref_tables(ref1, corridor1)
+        ref_s_last = pallas_cycle.true_path_length(ref1)
+        obstacles1 = collision_ops.ObstacleArrays(
+            pose=scene61.obs_pose[0, :, :n61 + 1],
+            half_ext=scene61.obs_half[0],
+            valid=scene61.obs_valid[0, :, :n61 + 1])
+        cl1, ca1, tl1 = grid_ops.velocity_keeping_candidates(
+            carry61.x0_lon[0], carry61.x0_lat[0], jnp.asarray(18.0, dtype),
+            jnp.asarray(25.0, dtype), jnp.asarray(False), grid61)
+        goal_valid1 = jnp.ones(K61, dtype=bool)
+        n_scan = 10
+
+        def body(v, _):
+            costs, _, _ = pallas_cycle._score_candidates_pallas(
+                cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
+                carry61.orientation[0], dtype(0.1), jnp.asarray(False), v,
+                dtype(0.0), dtype(5.0), ref_s_last, n_steps=n61)
+            return v + dtype(0.001), jnp.min(costs)
+
+        raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None, length=n_scan))
+
+        def t61_scan(v0):
+            with jax.enable_x64(False):
+                return raw(v0)
+
+        out = t61_scan(dtype(20.0))
+        jax.block_until_ready(out)
+        reps = max(3, args.repeats // 20)
+        t_start = time.time()
+        for _ in range(reps):
+            out = t61_scan(dtype(20.0))
+        jax.block_until_ready(out)
+        return K61 / ((time.time() - t_start) / reps / n_scan)
+
     def _measure_pallas_fleet():
         # full replanning loop (grid gen + fused scoring + winner re-roll)
         # for a whole fleet in one kernel launch per cycle
@@ -219,10 +276,12 @@ def main():
         jax.block_until_ready(out)
         return Fp * K * n_cycles_p / ((time.time() - t_start) / reps)
 
-    if args.pallas_probe or args.pallas_fleet_probe:
+    if probe_child:
         try:
             if args.pallas_probe:
                 print(f"PALLAS_EVALS_PER_SEC={_measure_pallas():.1f}")
+            elif args.pallas_t61_probe:
+                print(f"PALLAS_T61_EVALS_PER_SEC={_measure_pallas_t61():.1f}")
             else:
                 print("PALLAS_FLEET_EVALS_PER_SEC="
                       f"{_measure_pallas_fleet():.1f}")
@@ -253,6 +312,8 @@ def main():
     pallas_evals_per_sec = _run_probe("--pallas-probe", "PALLAS_EVALS_PER_SEC")
     pallas_fleet_evals_per_sec = _run_probe("--pallas-fleet-probe",
                                             "PALLAS_FLEET_EVALS_PER_SEC")
+    pallas_t61_evals_per_sec = _run_probe("--pallas-t61-probe",
+                                          "PALLAS_T61_EVALS_PER_SEC")
 
     # ---- baseline: pure-numpy oracle (reference computational shape) -------
     cfg = ReactivePlannerConfiguration()
@@ -304,6 +365,9 @@ def main():
         "pallas_fleet_evals_per_sec": round(pallas_fleet_evals_per_sec, 1)
         if pallas_fleet_evals_per_sec else None,
         "pallas_fleet_config": "64 problems x 10 cycles per call",
+        "pallas_t61_evals_per_sec": round(pallas_t61_evals_per_sec, 1)
+        if pallas_t61_evals_per_sec else None,
+        "t61_config": "K=5202, horizon 6 s (default N=60 config)",
         "fleet_config": f"{F} problems x {n_cycles} cycles per call",
         "cycle_latency_ms": round(device_time * 1e3, 3),
         "fleet_cycle_latency_ms": round(fleet_time / n_cycles * 1e3, 3),

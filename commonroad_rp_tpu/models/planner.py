@@ -528,6 +528,164 @@ class ReactivePlanner:
                             batch.lon_x0_pos < batch.lon_xd_pos)
         return np.ones(batch.size, dtype=bool)
 
+    def plan_scan(self, n_cycles: int, record: bool = True) -> dict:
+        """Device-resident multi-cycle replanning: the reference driver's
+        cyclic loop (run_planner.py:61-107) as ONE device dispatch.
+
+        Each scan step regenerates every sampling level's grid on device
+        around the carried state, scores the level union with the fused
+        Pallas kernel, selects the first-found level's winner (escalation
+        semantics), and advances ``replanning_frequency`` steps — no host
+        round-trip between cycles.  On a tunneled TPU backend this amortizes
+        the per-dispatch RTT over all cycles (sub-ms per planning cycle vs
+        tens of ms for per-cycle ``plan()`` calls).
+
+        Scope: the fast-path scope (velocity-keeping mode, float32 kernels,
+        corridor/no boundary, box/disc obstacles, default cost with a speed
+        target) and ``planning.factor == 1``.  Raises ValueError outside it.
+
+        Returns a dict with ``goal_reached``, ``cycles_run``, ``steps``,
+        per-cycle ``found``/``best_cost``/rejection counters; with
+        ``record=True`` the driven states are appended to
+        ``record_state_list`` and the planner state advances to the final
+        recorded state (like reset() in the host loop).
+        """
+        import jax as _jax
+
+        from commonroad_rp_tpu.ops import grid as grid_ops
+        from commonroad_rp_tpu.parallel import pallas_fleet
+
+        assert self.x_0 is not None and self._co is not None
+        if not self.x_0_cl:
+            self.x_0_cl = self._compute_initial_states(self.x_0)
+        self._low_vel_mode = \
+            self.x_0.velocity < self.config.planning.low_vel_mode_threshold
+
+        ctx = self._scene_context()
+        if not ctx["fast_ok"]:
+            raise ValueError("plan_scan requires the fast-path scope "
+                             "(debug.fast_scoring, float32 kernels, "
+                             "corridor/none boundary, box/disc obstacles, "
+                             "default cost with speed target)")
+        if self.config.sampling.longitudinal_mode != "velocity_keeping":
+            raise ValueError("plan_scan supports velocity-keeping mode")
+        if self.config.planning.factor != 1:
+            raise ValueError("plan_scan supports planning.factor == 1")
+        if self._desired_speed is None:
+            raise ValueError("call set_desired_velocity() before plan_scan")
+
+        cs = self.config.sampling
+        grids = tuple(
+            grid_ops.make_static_grid(level, cs.t_min, self.horizon, self.dt,
+                                      cs.d_min, cs.d_max,
+                                      cs.num_sampling_levels)
+            for level in range(1, self.sampling_level))
+
+        # full-span obstacle tables: every scenario step the scan can touch
+        freq = self.config.planning.replanning_frequency
+        span = self.x_0.time_step + n_cycles * freq + self.N + 1
+        obstacles_full = collision_ops.compile_obstacles(
+            self._cc.scenario, 0, span, 1, dtype=jnp.float32)
+        if obstacles_full.poly_verts is not None:
+            raise ValueError("plan_scan supports box/disc obstacles")
+        corridor = self._corridor_or_unbounded(ctx["corridor"])
+
+        cf = self.cost_function
+        # cache the built scan: rebuilding retraces the whole program (~1 s)
+        # even when the compiled executable is cached
+        cache_key = (n_cycles, freq, self.N, span, id(self._co),
+                     float(self._desired_speed),
+                     float(getattr(cf, "w_a", 5.0)),
+                     float(getattr(cf, "desired_d", 0.0)), ctx["flags"])
+        cached = getattr(self, "_plan_scan_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            run = cached[1]
+        else:
+            run = pallas_fleet.make_facade_replanning_scan(
+                self._co.tables, corridor, obstacles_full, ctx["veh"], grids,
+                self.dt, self.N, freq,
+                self.config.planning.low_vel_mode_threshold, self.horizon,
+                float(self._desired_speed), float(getattr(cf, "w_a", 5.0)),
+                float(getattr(cf, "desired_d", 0.0)), ctx["flags"], n_cycles,
+                interpret=_jax.default_backend() != "tpu")
+            self._plan_scan_cache = (cache_key, run)
+
+        x0_lon, x0_lat = self.x_0_cl
+        carry = pallas_fleet.FacadeScanCarry(
+            x0_lon=jnp.asarray(np.asarray(x0_lon), jnp.float32),
+            x0_lat=jnp.asarray(np.asarray(x0_lat), jnp.float32),
+            orientation=jnp.asarray(self.x_0.orientation, jnp.float32),
+            velocity=jnp.asarray(self.x_0.velocity, jnp.float32),
+            time_step=jnp.asarray(self.x_0.time_step, jnp.int32),
+            alive=jnp.asarray(True))
+
+        t0 = time.time()
+        final_carry, metrics = run(carry)
+        found, best_cost, n_inf_kin, n_coll, states = _jax.device_get(metrics)
+        wall = time.time() - t0
+        self.stage_timers.record("device_scan", wall)
+        logger.info("plan_scan: %d cycles in %.4fs (%.2f ms/cycle)",
+                    n_cycles, wall, wall / max(n_cycles, 1) * 1e3)
+
+        found = np.asarray(found)
+        states = np.asarray(states)                 # [C, 14, freq+1]
+        goal = self.config.planning_problem.goal
+        wb = self.vehicle_params.wb_rear_axle
+
+        cycles_run = 0
+        steps = 0
+        goal_reached = False
+        last_state = None
+        t_start = self.x_0.time_step
+        prev_theta = self.x_0.orientation
+        prev_lon_lat = None
+        for c in range(n_cycles):
+            if not found[c]:
+                break
+            cycles_run += 1
+            arr = states[c]
+            for offset in range(1, freq + 1):
+                steps += 1
+                theta = float(arr[9, offset])
+                state = ReactivePlannerState(
+                    time_step=t_start + (c * freq) + offset,
+                    position=np.array([arr[7, offset], arr[8, offset]]),
+                    orientation=theta,
+                    velocity=float(arr[10, offset]),
+                    acceleration=float(arr[11, offset]),
+                    yaw_rate=(theta - prev_theta) / self.dt,
+                    steering_angle=float(np.arctan2(
+                        self.vehicle_params.wheelbase * arr[12, offset], 1.0)))
+                prev_theta = theta
+                last_state = state
+                prev_lon_lat = (list(arr[0:3, offset]), list(arr[3:6, offset]))
+                if record:
+                    self.record_state_and_input(state)
+                shifted = state.shift_positions_to_center(wb)
+                if goal.is_reached(shifted):
+                    goal_reached = True
+                    break
+            if goal_reached:
+                break
+
+        if record and last_state is not None:
+            # advance the planner like the host loop's reset()
+            self.reset(initial_state_cart=last_state,
+                       initial_state_curv=prev_lon_lat,
+                       collision_checker=self._cc,
+                       coordinate_system=self._co)
+        if cycles_run:
+            self._infeasible_count_kinematics = int(n_inf_kin[cycles_run - 1])
+            self._infeasible_count_collision = int(n_coll[cycles_run - 1])
+            self._optimal_cost = float(best_cost[cycles_run - 1])
+
+        return dict(goal_reached=goal_reached, cycles_run=cycles_run,
+                    steps=steps, found=found[:cycles_run].tolist(),
+                    best_cost=np.asarray(best_cost)[:cycles_run].tolist(),
+                    n_inf_kinematics=np.asarray(n_inf_kin)[:cycles_run].tolist(),
+                    n_inf_collision=np.asarray(n_coll)[:cycles_run].tolist(),
+                    wall_time=wall)
+
     def _get_optimal_trajectory(self, batch: CandidateBatch):
         """One level through the device program (replaces
         reactive_planner.py:1065-1136)."""

@@ -250,33 +250,9 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
         constraint_flags=constraint_flags, interpret=interpret)
     dtype = masked.dtype
 
-    sel = jnp.where(jnp.isnan(masked), jnp.inf, masked)
-    lv = level_ids.astype(jnp.int32)
-    inf = jnp.asarray(jnp.inf, dtype)
-
-    best_per_level = []
-    found_per_level = []
-    for l in range(n_levels):                      # static, small
-        m = jnp.where(lv == l, sel, inf)
-        idx = jnp.argmin(m).astype(jnp.int32)
-        best_per_level.append(idx)
-        found_per_level.append(jnp.isfinite(m[idx]))
-    found_vec = jnp.stack(found_per_level)         # [L]
-    any_found = jnp.any(found_vec)
-    sel_level = jnp.argmax(found_vec).astype(jnp.int32)
-    # escalation runs to the last level before giving up (:616-636)
-    stat_level = jnp.where(any_found, sel_level, n_levels - 1)
-    best_idx = jnp.stack(best_per_level)[sel_level]
-    best_cost = jnp.where(any_found, sel[best_idx], inf)
-    found = any_found
-
-    level_mask = lv == stat_level
-    kin_inf = jnp.isinf(kin)
-    n_inf_kin = jnp.sum(goal_valid & kin_inf & level_mask).astype(jnp.int32)
-    colliding = ~kin_inf & jnp.isinf(masked) & level_mask
-    n_coll = jnp.where(found,
-                       jnp.sum(colliding & (kin < best_cost)),
-                       jnp.sum(colliding)).astype(jnp.int32)
+    (found, best_idx, best_cost, stat_level,
+     n_inf_kin, n_coll) = select_across_levels(masked, kin, goal_valid,
+                                               level_ids, n_levels)
 
     cv, ca, ck, ckd, cy = constraint_flags
     ro = kinematics.rollout(
@@ -296,6 +272,44 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
     return FastLevelResult(found=found, scalars=scalars, costs=masked,
                            kin_costs=kin, reasons=reasons.astype(jnp.int32),
                            optimal=optimal)
+
+
+def select_across_levels(masked: jnp.ndarray, kin: jnp.ndarray,
+                         goal_valid: jnp.ndarray, level_ids: jnp.ndarray,
+                         n_levels: int):
+    """Level-escalation selection over a union bundle (pure jnp, trace-safe).
+
+    Returns (found, best_idx, best_cost, stat_level, n_inf_kin, n_coll):
+    the winner comes from the FIRST level with any feasible collision-free
+    candidate (reference while loop, reactive_planner.py:616-636); statistics
+    follow the selected level (the last level when nothing is found).
+    """
+    sel = jnp.where(jnp.isnan(masked), jnp.inf, masked)
+    lv = level_ids.astype(jnp.int32)
+    inf = jnp.asarray(jnp.inf, masked.dtype)
+
+    best_per_level = []
+    found_per_level = []
+    for l in range(n_levels):                      # static, small
+        m = jnp.where(lv == l, sel, inf)
+        idx = jnp.argmin(m).astype(jnp.int32)
+        best_per_level.append(idx)
+        found_per_level.append(jnp.isfinite(m[idx]))
+    found_vec = jnp.stack(found_per_level)         # [L]
+    any_found = jnp.any(found_vec)
+    sel_level = jnp.argmax(found_vec).astype(jnp.int32)
+    stat_level = jnp.where(any_found, sel_level, n_levels - 1)
+    best_idx = jnp.stack(best_per_level)[sel_level]
+    best_cost = jnp.where(any_found, sel[best_idx], inf)
+
+    level_mask = lv == stat_level
+    kin_inf = jnp.isinf(kin)
+    n_inf_kin = jnp.sum(goal_valid & kin_inf & level_mask).astype(jnp.int32)
+    colliding = ~kin_inf & jnp.isinf(masked) & level_mask
+    n_coll = jnp.where(any_found,
+                       jnp.sum(colliding & (kin < best_cost)),
+                       jnp.sum(colliding)).astype(jnp.int32)
+    return any_found, best_idx, best_cost, stat_level, n_inf_kin, n_coll
 
 
 def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,

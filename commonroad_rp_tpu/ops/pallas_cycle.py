@@ -498,7 +498,7 @@ def score_candidates_pallas(*args, **kwargs):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
-                                             "interpret"))
+                                             "interpret", "tile_k"))
 def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
                             packed_table: jnp.ndarray,
@@ -509,7 +509,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             ref_s_last=None, desired_s=None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            tile_k: int | None = None) -> jnp.ndarray:
     """(masked_costs, kin_costs) each [K] from the fused VMEM scoring kernel.
 
     ``masked_costs`` is the selection row — equivalent (for velocity-keeping
@@ -527,13 +528,14 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     T = n_steps + 1
     P = packed_table.shape[0]
     M = obstacles.pose.shape[0]
+    tile = tile_k or _TILE_K
     if ref_s_last is None:
         # fall back: largest non-sentinel arclength (sentinels are >= 1e7
         # beyond the true end, see pack_ref_tables)
         s_col = packed_table[:, 0]
         ref_s_last = jnp.max(jnp.where(s_col < s_col[0] + 9e6, s_col, -jnp.inf))
 
-    K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
+    K_pad = ((K + tile - 1) // tile) * tile
     pad = K_pad - K
     cl = jnp.pad(coeffs_lon.T.astype(dtype), ((0, 0), (0, pad)))
     ca = jnp.pad(coeffs_lat.T.astype(dtype), ((0, 0), (0, pad)))
@@ -571,7 +573,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     pair_T = jnp.concatenate([table.T, table_next[:, :4].T], axis=0)  # [16, P]
     pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
 
-    grid = (K_pad // _TILE_K,)
+    grid = (K_pad // tile,)
     out = pl.pallas_call(
         functools.partial(_scoring_kernel, n_steps=n_steps,
                           n_obstacles=M, check_flags=check_flags,
@@ -583,13 +585,13 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, _TILE_K), lambda i: (0, i),
+            pl.BlockSpec((6, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, _TILE_K), lambda i: (0, i),
+            pl.BlockSpec((6, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -602,11 +604,11 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+        out_specs=(pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                   pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, _TILE_K), lambda i: (0, i),
+                   pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs)

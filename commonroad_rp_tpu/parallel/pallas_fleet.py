@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from commonroad_rp_tpu.ops import grid as grid_ops
 from commonroad_rp_tpu.ops import kinematics as kin_ops
@@ -287,6 +288,161 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
     def run(carry):
         # x64-off must wrap the CALL (Mosaic rejects 64-bit layouts and the
         # context inside the traced body does not take effect)
+        with jax.enable_x64(False):
+            return raw(carry)
+
+    return run
+
+
+class FacadeScanCarry(NamedTuple):
+    """Carry of the facade replanning scan (mirror of the planner's
+    per-cycle state: curvilinear x0, pose, liveness)."""
+
+    x0_lon: jnp.ndarray          # [3]
+    x0_lat: jnp.ndarray          # [3]
+    orientation: jnp.ndarray     # scalar
+    velocity: jnp.ndarray        # scalar
+    time_step: jnp.ndarray       # scalar int32
+    alive: jnp.ndarray           # scalar bool
+
+
+def make_facade_replanning_scan(ref: RefPathTables,
+                                corridor: CorridorArrays,
+                                obstacles_full: ObstacleArrays,
+                                veh: kin_ops.VehicleArrays,
+                                static_grids, dt: float, n_steps: int,
+                                replan_offset: int,
+                                low_vel_threshold: float, horizon: float,
+                                desired_speed: float,
+                                w_a: float, desired_d: float,
+                                constraint_flags: tuple, n_cycles: int,
+                                interpret: bool = False):
+    """Device-resident facade loop: ``n_cycles`` of fused level-escalated
+    planning cycles in ONE dispatch (``ReactivePlanner.plan_scan``).
+
+    Each scan step regenerates every sampling level's candidate grid on
+    device around the carried state (set_desired_velocity semantics,
+    reactive_planner.py:329-335), scores the level union with the fused
+    Pallas kernel, selects the first-found level's winner
+    (``cycle.select_across_levels``), re-rolls only the winner, and records
+    its first ``replan_offset`` states — the reference driver's cyclic
+    replanning loop (run_planner.py:61-107) without a single host
+    round-trip between cycles.
+
+    The host's ``np.unique`` d-grid union (sampling.py:226) is reproduced by
+    masking the appended current-offset sample ``goal_valid=False`` whenever
+    it duplicates a base grid value; ordering differences against the host
+    bundle only matter on exact cost ties (doc/conformance.md divergence 1).
+
+    Returns ``run(carry) -> (carry, metrics)`` with metrics =
+    (found [C], best_cost [C], n_inf_kin [C], n_coll [C],
+    states [C, 14, replan_offset + 1] — CANDIDATE_FIELDS rows for offsets
+    0..replan_offset of each cycle's winner).
+    """
+    from commonroad_rp_tpu.ops import cycle as cycle_ops
+    from commonroad_rp_tpu.ops.cycle import CANDIDATE_FIELDS
+
+    dtype = jnp.float32
+    T = n_steps + 1
+    n_levels = len(static_grids)
+    M = obstacles_full.pose.shape[0]
+    pose_all = obstacles_full.pose.astype(dtype)
+    half_all = obstacles_full.half_ext.astype(dtype)
+    valid_all = obstacles_full.valid
+    radius_all = None if obstacles_full.radius is None \
+        else obstacles_full.radius.astype(dtype)
+    t_full = pose_all.shape[1] if M else T
+
+    # static union layout: per-level sizes + appended-d-sample positions
+    sizes = []
+    appended = []
+    for g in static_grids:
+        nd1 = len(g.d_values) + 1
+        k_l = len(g.t_values) * g.n_lon * nd1
+        sizes.append(k_l)
+        appended.append((np.arange(k_l) % nd1) == nd1 - 1)
+    level_ids = jnp.asarray(np.concatenate(
+        [np.full(k, j, np.int32) for j, k in enumerate(sizes)]))
+
+    packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    ref_s_last = pallas_cycle.true_path_length(ref)
+    veh32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), veh)
+    ref32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), ref)
+
+    def cycle(carry: FacadeScanCarry, _):
+        v_min = jnp.maximum(0.0, carry.velocity
+                            - 0.125 * horizon * veh32.a_max)
+        v_max = jnp.maximum(v_min + 5.0, carry.velocity + 2.0)
+        low_vel = carry.velocity < low_vel_threshold
+
+        cls, cas, tls, gvs = [], [], [], []
+        for g, app in zip(static_grids, appended):
+            cl, ca, tl = grid_ops.velocity_keeping_candidates(
+                carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
+            dup = jnp.any(jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
+            gvs.append(~(jnp.asarray(app) & dup))
+            cls.append(cl)
+            cas.append(ca)
+            tls.append(tl)
+        cl = jnp.concatenate(cls)
+        ca = jnp.concatenate(cas)
+        tl = jnp.concatenate(tls)
+        gv = jnp.concatenate(gvs)
+
+        if M:
+            window_pose = jax.lax.dynamic_slice_in_dim(
+                pose_all, carry.time_step, T, axis=1)
+            window_valid = jax.lax.dynamic_slice_in_dim(
+                valid_all, carry.time_step, T, axis=1)
+            abs_step = carry.time_step + jnp.arange(T, dtype=jnp.int32)
+            window_valid = window_valid & (abs_step < t_full)[None, :]
+            obstacles = ObstacleArrays(pose=window_pose, half_ext=half_all,
+                                       valid=window_valid, radius=radius_all)
+        else:
+            obstacles = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
+                                       half_ext=jnp.zeros((0, 2), dtype),
+                                       valid=jnp.zeros((0, T), dtype=bool))
+
+        masked, kin, _ = pallas_cycle._score_candidates_pallas(
+            cl, ca, tl, gv, packed, obstacles, veh32, carry.orientation,
+            dtype(dt), low_vel, jnp.asarray(desired_speed, dtype),
+            jnp.asarray(desired_d, dtype), jnp.asarray(w_a, dtype),
+            ref_s_last, n_steps=n_steps, check_flags=constraint_flags,
+            interpret=interpret)
+
+        (found, best_idx, best_cost, _stat_level, n_inf_kin,
+         n_coll) = cycle_ops.select_across_levels(masked, kin, gv,
+                                                  level_ids, n_levels)
+
+        # re-roll ONLY the winner for the recorded states + carry update
+        cv, ck_v, ck, ckd, cy = constraint_flags
+        rollout = kin_ops.rollout(
+            cl[best_idx][None, :], ca[best_idx][None, :], tl[best_idx][None],
+            ref32, veh32, carry.orientation, dt, n_steps, low_vel,
+            check_velocity=cv, check_acceleration=ck_v, check_kappa=ck,
+            check_kappa_dot=ckd, check_yaw_rate=cy)
+        r = replan_offset
+        states = jnp.stack([getattr(rollout, f)[0, :r + 1]
+                            for f in CANDIDATE_FIELDS])     # [14, r+1]
+
+        step_alive = carry.alive & found
+        keep = lambda new, old: jnp.where(step_alive, new, old)
+        new_carry = FacadeScanCarry(
+            x0_lon=keep(states[0:3, r], carry.x0_lon),
+            x0_lat=keep(states[3:6, r], carry.x0_lat),
+            orientation=keep(states[9, r], carry.orientation),
+            velocity=keep(states[10, r], carry.velocity),
+            time_step=jnp.where(step_alive, carry.time_step + r,
+                                carry.time_step),
+            alive=step_alive)
+        metrics = (step_alive, best_cost, n_inf_kin, n_coll, states)
+        return new_carry, metrics
+
+    raw = jax.jit(
+        lambda carry: jax.lax.scan(cycle, carry, None, length=n_cycles))
+
+    def run(carry: FacadeScanCarry):
+        # x64-off must wrap the CALL (Mosaic rejects 64-bit layouts)
         with jax.enable_x64(False):
             return raw(carry)
 

@@ -262,3 +262,49 @@ def test_fused_levels_escalation_unit():
             jnp.ones(len(d0), dtype=bool), ref, veh, obstacles, corridor,
             dtype(0.0), cost_params, **kwargs)
         assert not bool(np.asarray(lvl0.found))
+
+
+def test_plan_scan_matches_host_loop(repo_root):
+    """plan_scan (device-resident multi-cycle scan) drives ZAM_Over to the
+    goal with the same steps as the host replanning loop on the fast path;
+    recorded trajectories agree to f32-grid resolution."""
+    from tests.test_planner_e2e import _run_loop
+
+    host = _run_loop(_make_config(repo_root, fast=True))
+    assert host.goal_reached()
+    want = host.record_state_list
+
+    config = _make_config(repo_root, fast=True)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    info = planner.plan_scan(14)
+
+    assert info["goal_reached"]
+    assert planner.goal_reached()          # planner state advanced to goal
+    got = planner.record_state_list
+    assert len(got) == len(want), (len(got), len(want))
+    for a, b in zip(want, got):
+        assert a.time_step == b.time_step
+        np.testing.assert_allclose(b.position, a.position, atol=5e-3)
+        np.testing.assert_allclose(b.velocity, a.velocity, atol=5e-3)
+    # per-cycle statistics populated
+    assert info["cycles_run"] >= 9
+    assert all(np.isfinite(info["best_cost"]))
+
+
+def test_plan_scan_scope_gate(repo_root):
+    """plan_scan raises outside the fast-path scope (XLA-only configs)."""
+    config = _make_config(repo_root, fast=False)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    with pytest.raises(ValueError):
+        planner.plan_scan(2)
