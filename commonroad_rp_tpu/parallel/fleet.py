@@ -137,7 +137,10 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                  keep(new_velocity, velocity),
                  jnp.where(step_alive, time_step + r, time_step),
                  step_alive)
-    metrics = (found, masked[best], rollout.x[best, r], rollout.y[best, r])
+    # dead members (incl. pad_fleet padding) report found=False / inf cost so
+    # fleet aggregates count live problems only
+    metrics = (step_alive, jnp.where(step_alive, masked[best], jnp.inf),
+               rollout.x[best, r], rollout.y[best, r])
     return out_carry, metrics
 
 
@@ -220,6 +223,32 @@ def make_fleet_rollout(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
 # ---------------------------------------------------------------------------
 # host-side fleet assembly
 # ---------------------------------------------------------------------------
+
+def pad_fleet(scene: FleetScene, carry: FleetCarry,
+              n_devices: int) -> Tuple[FleetScene, FleetCarry, int]:
+    """Pad the fleet axis to a multiple of the mesh size with DEAD members.
+
+    ``shard_map`` requires F % n_devices == 0; uneven fleets are padded by
+    repeating the final problem with ``alive=False`` — padded members freeze
+    immediately and report found=False / +inf cost, so per-cycle aggregates
+    (success count, mean cost) cover exactly the real fleet.  Returns
+    (scene, carry, original_F); slice metrics back with [:original_F].
+    """
+    F = int(carry.alive.shape[0])
+    pad = (-F) % n_devices
+    if pad == 0:
+        return scene, carry, F
+    rep = lambda a: jnp.concatenate(
+        [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+    scene_p = jax.tree.map(rep, scene)
+    carry_p = FleetCarry(
+        x0_lon=rep(carry.x0_lon), x0_lat=rep(carry.x0_lat),
+        orientation=rep(carry.orientation), velocity=rep(carry.velocity),
+        time_step=rep(carry.time_step),
+        alive=jnp.concatenate([carry.alive,
+                               jnp.zeros(pad, dtype=bool)]))
+    return scene_p, carry_p, F
+
 
 def build_fleet_scene(problems: List[dict], n_steps: int,
                       dtype=jnp.float32) -> Tuple[FleetScene, FleetCarry]:

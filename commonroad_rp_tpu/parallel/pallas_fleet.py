@@ -243,15 +243,17 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             time_step=jnp.where(step_alive, carry.time_step + r,
                                 carry.time_step),
             alive=step_alive)
-        n_success = jnp.sum(found.astype(jnp.int32))
-        cost_sum = jnp.sum(jnp.where(found, best_cost, 0.0))
-        n_found = jnp.maximum(jnp.sum(found.astype(jnp.int32)), 1)
+        # dead members (incl. pad_fleet padding) drop out of the aggregates
+        n_success = jnp.sum(step_alive.astype(jnp.int32))
+        cost_sum = jnp.sum(jnp.where(step_alive, best_cost, 0.0))
+        n_found = jnp.maximum(jnp.sum(step_alive.astype(jnp.int32)), 1)
         if mesh is not None:
             n_success = jax.lax.psum(n_success, FLEET_AXIS)
             cost_sum = jax.lax.psum(cost_sum, FLEET_AXIS)
-            n_found = jnp.maximum(
-                jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS), 1)
-        metrics = (found, best_cost, pick(rollout.x), pick(rollout.y),
+            n_found = jnp.maximum(jax.lax.psum(
+                jnp.sum(step_alive.astype(jnp.int32)), FLEET_AXIS), 1)
+        metrics = (step_alive, jnp.where(step_alive, best_cost, jnp.inf),
+                   pick(rollout.x), pick(rollout.y),
                    n_success, cost_sum / n_found,
                    n_kin_infeasible, n_colliding)
         return new_carry, metrics

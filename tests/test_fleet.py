@@ -183,3 +183,109 @@ def test_heterogeneous_vehicle_fleet(repo_root):
     jax.block_until_ready(new_carry)
     assert bool(np.all(np.asarray(metrics.found))), \
         "all three vehicle types should plan on ZAM_Over"
+
+
+def _over_problem(repo_root, n_steps=10):
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    return fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=30,
+        dtype=jnp.float32)
+
+
+def _fleet_runner(mesh, n_steps=10, n_cycles=3):
+    from commonroad_rp_tpu.ops import kinematics as kin_ops
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.utils.config import VehicleConfiguration
+
+    veh_cfg = VehicleConfiguration()
+    veh = kin_ops.VehicleArrays(
+        wheelbase=np.float32(veh_cfg.wheelbase),
+        wb_rear_axle=np.float32(veh_cfg.wb_rear_axle),
+        a_max=np.float32(veh_cfg.a_max), v_switch=np.float32(veh_cfg.v_switch),
+        kappa_max=np.float32(np.tan(veh_cfg.delta_max) / veh_cfg.wheelbase),
+        v_delta_max=np.float32(veh_cfg.v_delta_max),
+        half_length=np.float32(0.5 * veh_cfg.length),
+        half_width=np.float32(0.5 * veh_cfg.width))
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * 0.1, 0.1, -3.0, 3.0, 4)
+    return fleet_ops.make_fleet_rollout(
+        mesh, veh, grid, 0.1, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * 0.1, n_cycles=n_cycles)
+
+
+def test_fleet_uneven_shards(repo_root):
+    """F=5 problems on a 4-device mesh: pad_fleet pads with dead members;
+    real-member results match the unpadded 1-device run and aggregates
+    count only live problems."""
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+
+    problem = _over_problem(repo_root)
+    F = 5
+    problems = [problem] * F
+    scene, carry = fleet_ops.build_fleet_scene(problems, 10, dtype=jnp.float32)
+
+    # reference: unpadded on a single device
+    run1 = _fleet_runner(make_fleet_mesh(1))
+    final1, metrics1 = run1(carry, scene)
+
+    # padded to 8 on a 4-device mesh
+    scene_p, carry_p, F_real = fleet_ops.pad_fleet(scene, carry, 4)
+    assert F_real == F and carry_p.alive.shape[0] == 8
+    assert not bool(np.asarray(carry_p.alive)[F:].any())
+    run4 = _fleet_runner(make_fleet_mesh(4))
+    final4, metrics4 = run4(carry_p, scene_p)
+
+    np.testing.assert_allclose(np.asarray(final4.x0_lon)[:F],
+                               np.asarray(final1.x0_lon), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(metrics4.found)[:, :F],
+                                  np.asarray(metrics1.found))
+    # padded members stay dead and never count
+    assert not bool(np.asarray(metrics4.found)[:, F:].any())
+    assert np.all(np.isinf(np.asarray(metrics4.best_cost)[:, F:]))
+    np.testing.assert_array_equal(np.asarray(metrics4.fleet_success),
+                                  np.asarray(metrics1.fleet_success))
+    np.testing.assert_allclose(np.asarray(metrics4.fleet_mean_cost),
+                               np.asarray(metrics1.fleet_mean_cost),
+                               rtol=1e-6)
+
+
+def test_fleet_mid_scan_checkpoint_resume(repo_root, tmp_path):
+    """6-cycle scan == 3 cycles + checkpoint roundtrip + 3 more cycles
+    (bitwise carries; stacked metrics match)."""
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+    from commonroad_rp_tpu.utils.checkpoint import (load_fleet_carry,
+                                                    save_fleet_carry)
+
+    problem = _over_problem(repo_root)
+    scene, carry = fleet_ops.build_fleet_scene([problem] * 4, 10,
+                                               dtype=jnp.float32)
+    mesh = make_fleet_mesh(2)
+
+    run6 = _fleet_runner(mesh, n_cycles=6)
+    final6, metrics6 = run6(carry, scene)
+
+    run3 = _fleet_runner(mesh, n_cycles=3)
+    mid, metrics_a = run3(carry, scene)
+    path = str(tmp_path / "fleet_mid.npz")
+    save_fleet_carry(mid, cycle_index=3, path=path)
+    restored, cycle_index = load_fleet_carry(path)
+    assert cycle_index == 3
+    final_r, metrics_b = run3(restored, scene)
+
+    for a, b in zip(final6, final_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(metrics6.found),
+        np.concatenate([np.asarray(metrics_a.found),
+                        np.asarray(metrics_b.found)]))
+    np.testing.assert_array_equal(
+        np.asarray(metrics6.best_cost),
+        np.concatenate([np.asarray(metrics_a.best_cost),
+                        np.asarray(metrics_b.best_cost)]))
