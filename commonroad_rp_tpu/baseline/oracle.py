@@ -146,6 +146,7 @@ def check_kinematics_one(c_lon: np.ndarray, c_lat: np.ndarray, traj_len: int,
     theta_gl = np.zeros(T)
     theta_cl = np.zeros(T)
     kappa_gl = np.zeros(T)
+    k_r_steps = np.zeros(T)
 
     ref_pos, ref_theta = ref.s, ref.theta
     ref_curv, ref_curv_d = ref.curv, ref.curv_d
@@ -181,6 +182,7 @@ def check_kinematics_one(c_lon: np.ndarray, c_lat: np.ndarray, traj_len: int,
 
         k_r = (ref_curv[s_idx + 1] - ref_curv[s_idx]) * s_lambda + ref_curv[s_idx]
         k_r_d = (ref_curv_d[s_idx + 1] - ref_curv_d[s_idx]) * s_lambda + ref_curv_d[s_idx]
+        k_r_steps[i] = k_r
 
         one_krd = 1.0 - k_r * d[i]
         cos_t = np.cos(theta_cl[i])
@@ -214,6 +216,11 @@ def check_kinematics_one(c_lon: np.ndarray, c_lat: np.ndarray, traj_len: int,
                 return OracleCandidate(-1, False, "acceleration")
 
     for i in range(traj_len):
+        # lateral projection-domain limits of the C++ CLCS (normals crossing
+        # at 1 - kappa_r*d <= 0, default 20 m cap minus eps): conversion
+        # throws there -> candidate domain-infeasible (:908-917)
+        if 1.0 - k_r_steps[i] * d[i] <= 0.0 or abs(d[i]) >= 19.9:
+            return OracleCandidate(-1, False, "domain")
         pos = ref.to_cartesian(s[i], d[i])
         if pos is None:
             return OracleCandidate(-1, False, "domain")

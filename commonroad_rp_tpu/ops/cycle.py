@@ -140,7 +140,11 @@ def evaluate_level(coeffs_lon: jnp.ndarray,
     # kinematic check in the reference (reactive_planner.py:1076-1077), so
     # they do not count as kinematically infeasible
     n_inf_kin = jnp.sum(goal_valid & ~rollout.feasible).astype(jnp.int32)
-    # lazy-iteration collision count: feasible, colliding, cheaper than winner
+    # lazy-iteration collision count: feasible, colliding, cheaper than winner.
+    # Strict < : a colliding candidate whose cost exactly TIES the winner's is
+    # not counted, while the reference's sorted loop may or may not visit it
+    # depending on sort stability — the same measure-zero tie class as
+    # doc/conformance.md divergence 1.
     n_coll = jnp.sum(feasible & collides & (costs < best_cost)).astype(jnp.int32)
     # if nothing survives, the lazy loop visits every feasible candidate
     n_coll_nofind = jnp.sum(feasible & collides).astype(jnp.int32)

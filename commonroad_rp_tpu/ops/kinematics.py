@@ -29,6 +29,12 @@ from commonroad_rp_tpu.ops import polynomial as poly
 # precision value (reactive_planner.py:49)
 _EPS = 1e-5
 
+# pycrccosy CurvilinearCoordinateSystem constructor defaults (the reference
+# builds it bare at utils_coordinate_system.py:128): lateral projection-
+# domain limit and the eps the C++ subtracts when building the domain polygon
+PROJECTION_DOMAIN_LIMIT = 20.0
+_CLCS_EPS = 0.1
+
 # infeasibility reason codes (order = check order in _check_constraints,
 # reactive_planner.py:971-1017; DOMAIN corresponds to the out-of-projection-
 # domain rejection at :910-917 which is not part of the reason dict)
@@ -271,6 +277,14 @@ def rollout(coeffs_lon: jnp.ndarray,
     x, y_pos, in_domain = frenet_ops.to_cartesian(ref, s, d)
     x = jnp.where(active, x, 0.0)
     y_pos = jnp.where(active, y_pos, 0.0)
+    # lateral projection-domain limits (the C++ CLCS shrinks the domain
+    # where reference normals cross — 1 - kappa_r*d <= 0 — and caps it at
+    # the default 20 m limit minus eps; pycrccosy constructor defaults used
+    # at utils_coordinate_system.py:128): conversions there throw, making
+    # the candidate domain-infeasible like convert_to_cartesian_coords
+    # returning None (:908-917)
+    in_domain = in_domain & (one_krd > 0.0) & \
+        (jnp.abs(d) < PROJECTION_DOMAIN_LIMIT - _CLCS_EPS)
     domain_ok = jnp.all(in_domain | ~active, axis=0)
 
     # combine feasibility: prefilter -> per-step constraints -> domain

@@ -339,8 +339,12 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
 
     any_viol = min_flat < big
     kin_feasible = ~prefiltered & ~any_viol
-    domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last)) | ~active, axis=0,
-                        keepdims=True)
+    # domain: s inside the table span + the lateral projection-domain limits
+    # (normal-crossing 1 - kappa_r*d <= 0 and the CLCS 20 m default cap),
+    # matching ops.kinematics.rollout
+    lat_ok = (one_krd > 0.0) & (jnp.abs(d) < jnp.float32(19.9))
+    domain_ok = jnp.all(((s >= 0.0) & (s <= ref_s_last) & lat_ok) | ~active,
+                        axis=0, keepdims=True)
     feasible = kin_feasible & domain_ok & (goal_valid_row > 0.5)  # [1, TILE]
 
     # first-failure reason row (kinematics.rollout:257-279 ordering):

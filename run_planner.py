@@ -32,8 +32,11 @@ def main():
                         help="save final-trajectory plot to output/")
     parser.add_argument("--fast", action="store_true",
                         help="score candidates with the fused Pallas kernel "
-                             "(config.debug.fast_scoring; per-constraint "
-                             "reason statistics unavailable)")
+                             "(config.debug.fast_scoring)")
+    parser.add_argument("--scan", action="store_true",
+                        help="drive the whole replanning loop as device-"
+                             "resident plan_scan dispatches (implies --fast; "
+                             "fastest per-cycle path on TPU)")
     args = parser.parse_args()
 
     import jax
@@ -58,6 +61,8 @@ def main():
         f"configurations/{args.scenario}.yaml", filename)
     config.update()
 
+    if args.scan:
+        args.fast = True
     if args.fast and args.dtype and args.dtype != "float32":
         parser.error(f"--fast requires float32 kernels (the Pallas scorer "
                      f"has no {args.dtype} layout); drop --dtype or --fast")
@@ -90,6 +95,42 @@ def main():
     planner.record_state_and_input(planner.x_0)
     optimal = None
     t_start = time.time()
+
+    if args.scan:
+        # device-resident loop: chunks of replanning cycles per dispatch
+        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        freq = config.planning.replanning_frequency
+        chunk = 12
+        scan_infos = []
+        while not planner.goal_reached():
+            if len(planner.record_state_list) - 1 >= args.max_steps:
+                logger.warning("Aborting after %d steps without reaching goal",
+                               len(planner.record_state_list) - 1)
+                break
+            info = planner.plan_scan(chunk)
+            scan_infos.append(info)
+            print(f"plan_scan: {info['cycles_run']} cycles, "
+                  f"{info['steps']} steps, goal={info['goal_reached']}, "
+                  f"{info['wall_time'] / max(info['cycles_run'], 1) * 1e3:.2f}"
+                  " ms/cycle", flush=True)
+            if info["cycles_run"] < chunk and not info["goal_reached"]:
+                logger.error("plan_scan found no trajectory — stopping")
+                break
+        wall = time.time() - t_start
+        n_steps = len(planner.record_state_list) - 1
+        reached = planner.goal_reached()
+        n_cycles = sum(i["cycles_run"] for i in scan_infos)
+        print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "
+              f"cycles={n_cycles} "
+              f"ms_per_cycle={wall / max(n_cycles, 1) * 1e3:.2f}", flush=True)
+        if args.evaluate:
+            from commonroad_rp_tpu.utils.evaluation import run_evaluation
+            solution, feasibility = run_evaluation(
+                planner.config, planner.record_state_list,
+                planner.record_input_list)
+            print(f"state transitions feasible: "
+                  f"{sum(feasibility)}/{len(feasibility)}")
+        return 0 if reached else 1
 
     while not planner.goal_reached():
         current_count = len(planner.record_state_list) - 1
