@@ -108,8 +108,9 @@ def main():
         return single(carry.x0_lon[0], carry.x0_lat[0], carry.orientation[0],
                       velocity, carry.time_step[0], carry.alive[0],
                       take(scene.ref), scene.obs_pose[0], scene.obs_half[0],
-                      scene.obs_valid[0], scene.corridor_lo[0],
-                      scene.corridor_hi[0], scene.desired_speed[0])
+                      scene.obs_valid[0], scene.obs_radius[0],
+                      scene.corridor_lo[0], scene.corridor_hi[0],
+                      scene.desired_speed[0])
 
     probe_child = (args.pallas_probe or args.pallas_fleet_probe
                    or args.pallas_t61_probe)

@@ -119,3 +119,45 @@ def test_stopping_full_loop(repo_root):
     assert final_v < 2.0, f"vehicle should be nearly stopped, v={final_v}"
     assert abs(final_s - stop_s) < 5.0, \
         f"vehicle stopped at s={final_s:.1f}, target {stop_s:.1f}"
+
+
+def test_stopping_fast_path_matches_xla(repo_root):
+    """Fast path in STOPPING mode (quintic lon targets, stopping cost with
+    w_a = 1, goal-behind filtering): same selection and counters as the XLA
+    path through the fused union-level dispatch."""
+    def plan(fast):
+        config = ReactivePlannerConfiguration.load(
+            repo_root / "configurations" / "ZAM_Over-1_1.yaml",
+            "ZAM_Over-1_1.xml")
+        config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+        config.general.set_path_scenario("ZAM_Over-1_1.xml")
+        config.update()
+        config.sampling.longitudinal_mode = "stopping"
+        config.debug.kernel_dtype = "float32"
+        config.debug.fast_scoring = fast
+        route = RoutePlanner(config.scenario,
+                             config.planning_problem).plan_routes() \
+            .retrieve_first_route()
+        planner = ReactivePlanner(config)
+        planner.set_reference_path(route.reference_path)
+        slow_x0 = planner.x_0.copy()
+        slow_x0.velocity = 8.0
+        slow_x0.yaw_rate = 0.0
+        planner.reset(initial_state_cart=slow_x0,
+                      collision_checker=planner.collision_checker,
+                      coordinate_system=planner.coordinate_system)
+        planner.set_desired_lon_position(planner.x_0_cl[0][0] + 8.0)
+        return planner, planner.plan()
+
+    ref_planner, want = plan(False)
+    fast_planner, got = plan(True)
+    assert want is not None and got is not None
+    for a, b in zip(want[0].state_list, got[0].state_list):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-3)
+        np.testing.assert_allclose(b.velocity, a.velocity, atol=1e-3)
+    assert fast_planner.infeasible_count_kinematics == \
+        ref_planner.infeasible_count_kinematics
+    assert fast_planner.infeasible_count_collision == \
+        ref_planner.infeasible_count_collision
+    assert fast_planner.infeasible_reason_dict == \
+        ref_planner.infeasible_reason_dict

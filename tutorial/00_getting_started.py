@@ -118,3 +118,18 @@ fast_planner.set_reference_path(route.reference_path)
 fast_planner.set_desired_velocity(current_speed=fast_planner.x_0.velocity)
 fast_result = fast_planner.plan()
 print("fast path optimal cost:", fast_planner.optimal_cost)
+
+
+# ## 8. One-dispatch replanning: plan_scan
+# The whole cyclic replanning loop as a single device dispatch (grid
+# generation, fused level-escalated scoring, winner re-roll, and state
+# advance all on device). ~3.4 ms per planning cycle on a TPU; interpret
+# mode (slow) on CPU. Scope: velocity-keeping within the fast-path scope.
+scan_planner = ReactivePlanner(config)
+scan_planner.set_reference_path(route.reference_path)
+scan_planner.set_desired_velocity(current_speed=scan_planner.x_0.velocity)
+scan_planner.record_state_and_input(scan_planner.x_0)
+info = scan_planner.plan_scan(n_cycles=12)
+print(f"goal={info['goal_reached']} cycles={info['cycles_run']} "
+      f"steps={info['steps']} "
+      f"{info['wall_time'] / max(info['cycles_run'], 1) * 1e3:.1f} ms/cycle")
