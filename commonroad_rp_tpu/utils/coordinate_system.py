@@ -81,22 +81,24 @@ class CoordinateSystem:
     def ref_theta(self) -> np.ndarray:
         return self._ref_theta
 
-    def projection_domain(self, d_limit: float = 25.0) -> np.ndarray:
+    def projection_domain(self, d_limit: Optional[float] = None) -> np.ndarray:
         """Closed polygon [N, 2] bounding the region of unique curvilinear
         projection (pycrccosy ``projection_domain()``, drawn by
         visualization.py:68-69 in the reference).
 
         The orthogonal projection onto the reference path is unique while the
         lateral offset stays below the curvature center on the bent side:
-        |d| < 1/|kappa|.  The domain is the reference path offset along the
-        unit normals by +/- min(d_limit, margin / |kappa|), traversed
-        counter-clockwise and closed.
+        |d| < 1/|kappa|.  The drawn outline matches the limits the rollout
+        ENFORCES (ops/kinematics: normal-crossing 1 - kappa*d > 0 plus the
+        pycrccosy 20 m default cap minus eps).
         """
+        if d_limit is None:
+            from commonroad_rp_tpu.ops.kinematics import (
+                _CLCS_EPS, PROJECTION_DOMAIN_LIMIT)
+            d_limit = PROJECTION_DOMAIN_LIMIT - _CLCS_EPS
         kappa = np.abs(self._ref_curv)
-        # keep a 10% safety margin to the curvature center, as the C++ CLCS
-        # does, so the inverse map stays well-conditioned at the boundary
         reach = np.where(kappa > 1e-12,
-                         np.minimum(d_limit, 0.9 / np.maximum(kappa, 1e-12)),
+                         np.minimum(d_limit, 1.0 / np.maximum(kappa, 1e-12)),
                          d_limit)
         # curvature sign decides which side the center lies on; the opposite
         # side is unconstrained up to d_limit
@@ -114,6 +116,15 @@ class CoordinateSystem:
         seg = min(max(int(np.searchsorted(self._ref_pos, s, side="right")) - 1, 0),
                   len(self._ref_pos) - 2)
         ds = s - self._ref_pos[seg]
+        # lateral projection-domain limits (same as ops/kinematics enforces:
+        # normal crossing + the pycrccosy 20 m default cap minus eps)
+        from commonroad_rp_tpu.ops.kinematics import (_CLCS_EPS,
+                                                      PROJECTION_DOMAIN_LIMIT)
+        lam = ds / max(self._ref_pos[seg + 1] - self._ref_pos[seg], 1e-12)
+        k_r = ((self._ref_curv[seg + 1] - self._ref_curv[seg]) * lam
+               + self._ref_curv[seg])
+        if 1.0 - k_r * d <= 0.0 or abs(d) >= PROJECTION_DOMAIN_LIMIT - _CLCS_EPS:
+            return None
         return (self._reference[seg] + ds * self._tangent[seg] + d * self._normal[seg])
 
     def convert_to_curvilinear_coords(self, x: float, y: float) -> np.ndarray:
