@@ -42,6 +42,9 @@ def main():
     parser.add_argument("--pallas-t61-probe", action="store_true",
                         help="internal: measure the pallas scorer at the "
                              "default 6 s horizon (N=60, T=61)")
+    parser.add_argument("--plan-scan-probe", action="store_true",
+                        help="internal: measure ReactivePlanner.plan_scan "
+                             "warm latency per planning cycle (ms)")
     parser.add_argument("--pallas-timeout", type=float, default=900.0,
                         help="seconds to allow the pallas-scorer probe "
                              "(remote-compile latency is highly variable)")
@@ -113,7 +116,7 @@ def main():
                       scene.desired_speed[0])
 
     probe_child = (args.pallas_probe or args.pallas_fleet_probe
-                   or args.pallas_t61_probe)
+                   or args.pallas_t61_probe or args.plan_scan_probe)
     if not probe_child:
         # warm-up / compile
         t0 = time.time()
@@ -259,6 +262,32 @@ def main():
         jax.block_until_ready(out)
         return K61 / ((time.time() - t_start) / reps / n_scan)
 
+    def _measure_plan_scan():
+        # facade device-resident loop: warm ms per planning cycle on
+        # ZAM_Over (12 fused-escalation cycles per dispatch)
+        from commonroad_rp_tpu.models.planner import ReactivePlanner
+        from commonroad_rp_tpu.utils.route import RoutePlanner
+
+        config = ReactivePlannerConfiguration.load(
+            "configurations/ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+        config.update()
+        config.debug.kernel_dtype = "float32"
+        config.debug.fast_scoring = True
+        route = RoutePlanner(config.scenario,
+                             config.planning_problem).plan_routes() \
+            .retrieve_first_route()
+        planner = ReactivePlanner(config)
+        planner.set_reference_path(route.reference_path)
+        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        n_cycles = 12
+        planner.plan_scan(n_cycles, record=False)        # compile
+        times = []
+        for _ in range(5):
+            t_start = time.time()
+            planner.plan_scan(n_cycles, record=False)
+            times.append(time.time() - t_start)
+        return float(np.median(times)) / n_cycles * 1e3   # ms per cycle
+
     def _measure_pallas_fleet():
         # full replanning loop (grid gen + fused scoring + winner re-roll)
         # for a whole fleet in one kernel launch per cycle
@@ -285,6 +314,8 @@ def main():
                 print(f"PALLAS_EVALS_PER_SEC={_measure_pallas():.1f}")
             elif args.pallas_t61_probe:
                 print(f"PALLAS_T61_EVALS_PER_SEC={_measure_pallas_t61():.1f}")
+            elif args.plan_scan_probe:
+                print(f"PLAN_SCAN_CYCLE_MS={_measure_plan_scan():.3f}")
             else:
                 print("PALLAS_FLEET_EVALS_PER_SEC="
                       f"{_measure_pallas_fleet():.1f}")
@@ -317,6 +348,7 @@ def main():
                                             "PALLAS_FLEET_EVALS_PER_SEC")
     pallas_t61_evals_per_sec = _run_probe("--pallas-t61-probe",
                                           "PALLAS_T61_EVALS_PER_SEC")
+    plan_scan_cycle_ms = _run_probe("--plan-scan-probe", "PLAN_SCAN_CYCLE_MS")
 
     # ---- baseline: pure-numpy oracle (reference computational shape) -------
     cfg = ReactivePlannerConfiguration()
@@ -371,6 +403,8 @@ def main():
         "pallas_t61_evals_per_sec": round(pallas_t61_evals_per_sec, 1)
         if pallas_t61_evals_per_sec else None,
         "t61_config": "K=5202, horizon 6 s (default N=60 config)",
+        "plan_scan_cycle_ms": round(plan_scan_cycle_ms, 3)
+        if plan_scan_cycle_ms else None,
         "fleet_config": f"{F} problems x {n_cycles} cycles per call",
         "cycle_latency_ms": round(device_time * 1e3, 3),
         "fleet_cycle_latency_ms": round(fleet_time / n_cycles * 1e3, 3),

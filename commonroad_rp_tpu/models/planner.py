@@ -515,7 +515,6 @@ class ReactivePlanner:
                    and not self._draw_traj_set
                    and not self.config.planning.continuous_collision_check
                    and boundary_mode in ("corridor", "none")
-                   and obstacles.poly_verts is None
                    and cf.structure[0] == "default" and cf.structure[1])
         return dict(veh=veh, obstacles=obstacles, boundary=boundary,
                     boundary_mode=boundary_mode, corridor=corridor,
@@ -586,8 +585,6 @@ class ReactivePlanner:
         span = self.x_0.time_step + n_cycles * freq + self.N + 1
         obstacles_full = collision_ops.compile_obstacles(
             self._cc.scenario, 0, span, 1, dtype=jnp.float32)
-        if obstacles_full.poly_verts is not None:
-            raise ValueError("plan_scan supports box/disc obstacles")
         corridor = self._corridor_or_unbounded(ctx["corridor"])
 
         cf = self.cost_function

@@ -327,17 +327,18 @@ def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,
     kind, has_speed, has_s = cost_structure
     assert kind == "default" and has_speed, \
         "fast path supports the default cost structure with a speed target"
-    assert obstacles.poly_verts is None, \
-        "fast path supports box/disc obstacles (facade gates polygon scenes)"
     f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
     ref = f32(ref)
     veh = f32(veh)
+    opt32 = lambda a: None if a is None else jnp.asarray(a, dtype)
     obstacles = collision_ops.ObstacleArrays(
         pose=jnp.asarray(obstacles.pose, dtype),
         half_ext=jnp.asarray(obstacles.half_ext, dtype),
         valid=jnp.asarray(obstacles.valid, bool),
-        radius=None if obstacles.radius is None
-        else jnp.asarray(obstacles.radius, dtype))
+        radius=opt32(obstacles.radius),
+        poly_verts=opt32(obstacles.poly_verts),
+        poly_valid=None if obstacles.poly_valid is None
+        else jnp.asarray(obstacles.poly_valid, bool))
     corridor = f32(corridor)
     coeffs_lon = jnp.asarray(coeffs_lon, dtype)
     coeffs_lat = jnp.asarray(coeffs_lat, dtype)

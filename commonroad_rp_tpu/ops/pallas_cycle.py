@@ -153,9 +153,11 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
-                    pair_t2_ref, obs_ref, cost_ref, kin_cost_ref, reason_ref,
-                    *, n_steps: int, n_obstacles: int,
-                    check_flags: tuple, has_desired_s: bool = False):
+                    pair_t2_ref, obs_ref, poly_ref, cost_ref, kin_cost_ref,
+                    reason_ref,
+                    *, n_steps: int, n_obstacles: int, n_polys: int,
+                    n_poly_verts: int, check_flags: tuple,
+                    has_desired_s: bool = False):
     """Single-problem kernel shell."""
     cost_ref[:], kin_cost_ref[:], reason_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
@@ -163,16 +165,19 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
         pair_t2_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
-        n_steps=n_steps, n_obstacles=n_obstacles,
+        lambda m, col: poly_ref[m, :, col:col + 1],
+        n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
+        n_poly_verts=n_poly_verts,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
-                          pair_t1_ref, pair_t2_ref, obs_ref, cost_ref,
-                          kin_cost_ref, reason_ref,
-                          *, n_steps: int, n_obstacles: int,
-                          check_flags: tuple, has_desired_s: bool = False):
+                          pair_t1_ref, pair_t2_ref, obs_ref, poly_ref,
+                          cost_ref, kin_cost_ref, reason_ref,
+                          *, n_steps: int, n_obstacles: int, n_polys: int,
+                          n_poly_verts: int, check_flags: tuple,
+                          has_desired_s: bool = False):
     """Fleet kernel shell: every ref carries a leading per-problem block axis
     of size 1 (grid = (F, K_tiles), BlockSpec index maps select the problem)."""
     cost_ref[0], kin_cost_ref[0], reason_ref[0] = _scoring_body(
@@ -181,13 +186,16 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
         goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
         pair_t2_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
-        n_steps=n_steps, n_obstacles=n_obstacles,
+        lambda m, col: poly_ref[0, m, :, col:col + 1],
+        n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
+        n_poly_verts=n_poly_verts,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                   goal_valid_row, table, pair_t0, pair_t1, pair_t2, obs_ref,
-                  obs_col, *, n_steps: int, n_obstacles: int,
+                  obs_col, poly_col, *, n_steps: int, n_obstacles: int,
+                  n_polys: int, n_poly_verts: int,
                   check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
@@ -481,6 +489,45 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         hit = (is_disc & disc_hit) | (~is_disc & ~sep)
         collides = collides | jnp.any(valid & hit, axis=0, keepdims=True)
 
+    # ---- exact convex-polygon SAT (polygon obstacle group) ----------------
+    # per piece: ego box axes (candidate-dependent projections of the V
+    # world vertices) + the V edge normals (candidate-independent [T, 1]
+    # intervals); padded duplicate vertices yield zero normals that never
+    # separate — matching ops.collision._poly_obb_overlap_tmajor
+    for m in range(n_polys):
+        V = n_poly_verts
+        vxs = [poly_col(m, 2 * v) for v in range(V)]          # each [T, 1]
+        vys = [poly_col(m, 2 * v + 1) for v in range(V)]
+        pvalid = poly_col(m, 2 * V) > 0.5
+
+        pm_min = pm_max = pn_min = pn_max = None
+        for v in range(V):
+            rx = vxs[v] - ecx                                  # [T, TILE]
+            ry = vys[v] - ecy
+            pm = rx * e_cos + ry * e_sin
+            pn = -rx * e_sin + ry * e_cos
+            pm_min = pm if v == 0 else jnp.minimum(pm_min, pm)
+            pm_max = pm if v == 0 else jnp.maximum(pm_max, pm)
+            pn_min = pn if v == 0 else jnp.minimum(pn_min, pn)
+            pn_max = pn if v == 0 else jnp.maximum(pn_max, pn)
+        sep_p = (pm_min > half_len) | (pm_max < -half_len) | \
+                (pn_min > half_wid) | (pn_max < -half_wid)
+
+        for e in range(V):
+            e2 = (e + 1) % V
+            nx = -(vys[e2] - vys[e])                           # [T, 1]
+            ny = vxs[e2] - vxs[e]
+            lo = hi = None
+            for v in range(V):
+                pv = nx * vxs[v] + ny * vys[v]                 # [T, 1]
+                lo = pv if v == 0 else jnp.minimum(lo, pv)
+                hi = pv if v == 0 else jnp.maximum(hi, pv)
+            c_proj = nx * ecx + ny * ecy                       # [T, TILE]
+            r_ego = (half_len * jnp.abs(nx * e_cos + ny * e_sin) +
+                     half_wid * jnp.abs(-nx * e_sin + ny * e_cos))
+            sep_p = sep_p | (c_proj - r_ego > hi) | (c_proj + r_ego < lo)
+        collides = collides | jnp.any(pvalid & ~sep_p, axis=0, keepdims=True)
+
     # two [1, TILE] rows: masked cost (the selection row) and the
     # kinematic-feasible raw cost (statistics row — lets the facade fast path
     # reconstruct the reference's rejection counters incl. the
@@ -558,6 +605,18 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     else:
         obs = jnp.zeros((1, T, _OBS_COLS), dtype)
 
+    # polygon group: [Mp, T, 2V + 1] interleaved world vertex coords + valid
+    if obstacles.poly_verts is not None:
+        Mp = obstacles.poly_verts.shape[0]
+        Vp = obstacles.poly_verts.shape[2]
+        poly = jnp.concatenate(
+            [obstacles.poly_verts.astype(dtype).reshape(Mp, T, 2 * Vp),
+             obstacles.poly_valid.astype(dtype)[..., None]], axis=-1)
+    else:
+        Mp, Vp = 0, 1
+        poly = jnp.zeros((1, T, 3), dtype)
+    poly_cols = poly.shape[-1]
+
     scalars = jnp.zeros((1, _NUM_SCALARS), dtype)
     values = [
         (_S_WHEELBASE, veh.wheelbase), (_S_WB_REAR, veh.wb_rear_axle),
@@ -580,7 +639,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     grid = (K_pad // tile,)
     out = pl.pallas_call(
         functools.partial(_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, check_flags=check_flags,
+                          n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
+                          check_flags=check_flags,
                           has_desired_s=desired_s is not None),
         out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
                    jax.ShapeDtypeStruct((1, K_pad), dtype),
@@ -607,6 +667,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM),
@@ -615,7 +677,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs)
+    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs, poly)
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
@@ -715,10 +777,12 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
          jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
     pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
 
+    poly = jnp.zeros((F, 1, T, 3), dtype)   # fleet scenes carry box/disc only
     grid = (F, K_pad // _TILE_K)
     out = pl.pallas_call(
         functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, check_flags=check_flags,
+                          n_obstacles=M, n_polys=0, n_poly_verts=1,
+                          check_flags=check_flags,
                           has_desired_s=has_desired_s),
         out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
                    jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
@@ -745,6 +809,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max(M, 1), T, _OBS_COLS), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, T, 3), lambda f, i: (f, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM),
@@ -753,7 +819,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs)
+    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs, poly)
     return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 

@@ -353,7 +353,12 @@ def make_facade_replanning_scan(ref: RefPathTables,
     valid_all = obstacles_full.valid
     radius_all = None if obstacles_full.radius is None \
         else obstacles_full.radius.astype(dtype)
+    poly_all = None if obstacles_full.poly_verts is None \
+        else obstacles_full.poly_verts.astype(dtype)
+    poly_valid_all = obstacles_full.poly_valid
     t_full = pose_all.shape[1] if M else T
+    if poly_all is not None:
+        t_full = max(t_full, poly_all.shape[1])
 
     # static union layout: per-level sizes + appended-d-sample positions
     sizes = []
@@ -391,19 +396,28 @@ def make_facade_replanning_scan(ref: RefPathTables,
         tl = jnp.concatenate(tls)
         gv = jnp.concatenate(gvs)
 
+        abs_step = carry.time_step + jnp.arange(T, dtype=jnp.int32)
+        in_span = abs_step < t_full
         if M:
             window_pose = jax.lax.dynamic_slice_in_dim(
                 pose_all, carry.time_step, T, axis=1)
             window_valid = jax.lax.dynamic_slice_in_dim(
                 valid_all, carry.time_step, T, axis=1)
-            abs_step = carry.time_step + jnp.arange(T, dtype=jnp.int32)
-            window_valid = window_valid & (abs_step < t_full)[None, :]
-            obstacles = ObstacleArrays(pose=window_pose, half_ext=half_all,
-                                       valid=window_valid, radius=radius_all)
+            window_valid = window_valid & in_span[None, :]
         else:
-            obstacles = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
-                                       half_ext=jnp.zeros((0, 2), dtype),
-                                       valid=jnp.zeros((0, T), dtype=bool))
+            window_pose = jnp.zeros((0, T, 3), dtype)
+            window_valid = jnp.zeros((0, T), dtype=bool)
+        poly_w = poly_valid_w = None
+        if poly_all is not None:
+            poly_w = jax.lax.dynamic_slice_in_dim(
+                poly_all, carry.time_step, T, axis=1)
+            poly_valid_w = jax.lax.dynamic_slice_in_dim(
+                poly_valid_all, carry.time_step, T, axis=1) & in_span[None, :]
+        obstacles = ObstacleArrays(
+            pose=window_pose,
+            half_ext=half_all if M else jnp.zeros((0, 2), dtype),
+            valid=window_valid, radius=radius_all,
+            poly_verts=poly_w, poly_valid=poly_valid_w)
 
         masked, kin, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, gv, packed, obstacles, veh32, carry.orientation,

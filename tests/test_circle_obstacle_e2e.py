@@ -1,4 +1,4 @@
-"""End-to-end drive around a CIRCLE obstacle (exact-shape collision).
+"""End-to-end drive around CIRCLE and POLYGON obstacles (exact shapes).
 
 pycrcc collides exact circles (reference reactive_planner.py:236-239).
 This drives a synthetic scenario where a parked disc blocks the lane: the
@@ -39,6 +39,19 @@ _SCENARIO = """\
     <shape><circle><radius>1.8</radius></circle></shape>
     <initialState>
       <position><point><x>45</x><y>-0.6</y></point></position>
+      <orientation><exact>0</exact></orientation>
+      <time><exact>0</exact></time>
+    </initialState>
+  </staticObstacle>
+  <staticObstacle id="11">
+    <type>unknown</type>
+    <shape><polygon>
+      <point><x>-3</x><y>1.2</y></point>
+      <point><x>3</x><y>1.2</y></point>
+      <point><x>0</x><y>-1.2</y></point>
+    </polygon></shape>
+    <initialState>
+      <position><point><x>75</x><y>2.8</y></point></position>
       <orientation><exact>0</exact></orientation>
       <time><exact>0</exact></time>
     </initialState>
@@ -122,3 +135,9 @@ def test_circle_obstacle_drive(tmp_path, fast):
     assert min_clearance > 0.0, "must clear the exact disc"
     assert min_clearance < 1.5, "disc did not constrain the maneuver"
     assert max_lateral > 1.0, "expected a swerve around the disc"
+
+    # the triangle jutting into the lane from the left at x=75 forces the
+    # ego below its apex (y = 1.6): no recorded pose may reach beyond it
+    near_tri = [s for s in traj.state_list if 70 < s.position[0] < 80]
+    assert near_tri, "run must pass the triangle's x-span"
+    assert max(s.position[1] for s in near_tri) < 1.6

@@ -448,3 +448,84 @@ def test_fast_path_disc_parity_interpret():
         np.testing.assert_array_equal(
             np.isinf(fast_masked), ~(xla_feasible & ~xla_collides))
         assert int(np.asarray(xla.scalars)[0]) == int(np.asarray(fast.scalars)[0])
+
+
+def test_fast_path_polygon_parity_interpret():
+    """Pallas scorer (interpret mode) with a POLYGON obstacle group: masks
+    match the XLA path exactly (same convex-piece SAT fused in VMEM)."""
+    import jax
+
+    from commonroad_rp_tpu.ops import cycle as cycle_ops
+    from commonroad_rp_tpu.ops import frenet as frenet_ops
+    from commonroad_rp_tpu.ops import kinematics as kin_ops
+    from commonroad_rp_tpu.ops.polynomial import (quartic_coeffs,
+                                                  quintic_coeffs)
+
+    with jax.enable_x64(False):
+        dtype = jnp.float32
+        n = 200
+        s_ref = np.linspace(0.0, 120.0, n)
+        ref = frenet_ops.RefPathTables(
+            points=jnp.asarray(np.stack([s_ref, np.zeros(n)], 1), dtype),
+            s=jnp.asarray(s_ref, dtype), theta=jnp.zeros(n, dtype),
+            curv=jnp.zeros(n, dtype), curv_d=jnp.zeros(n, dtype),
+            curv_dd=jnp.zeros(n, dtype),
+            tangent=jnp.asarray(np.tile([1.0, 0.0], (n, 1)), dtype),
+            normal=jnp.asarray(np.tile([0.0, 1.0], (n, 1)), dtype))
+        veh = kin_ops.VehicleArrays(
+            wheelbase=dtype(2.5), wb_rear_axle=dtype(1.4), a_max=dtype(8.0),
+            v_switch=dtype(7.3), kappa_max=dtype(0.2), v_delta_max=dtype(0.4),
+            half_length=dtype(2.2), half_width=dtype(0.9))
+
+        n_steps = 20
+        dt = 0.1
+        horizon = n_steps * dt
+        d_ends = np.linspace(-4.0, 4.0, 33)
+        K = len(d_ends)
+        c_lon = np.tile(np.asarray(
+            quartic_coeffs(jnp.asarray([[0.0, 10.0, 0.0]]),
+                           jnp.asarray([10.0]), jnp.asarray([horizon]))),
+            (K, 1))
+        x0_lat = np.zeros((K, 3))
+        xd_lat = np.stack([d_ends, np.zeros(K), np.zeros(K)], axis=1)
+        c_lat = np.asarray(
+            quintic_coeffs(jnp.asarray(x0_lat), jnp.asarray(xd_lat),
+                           jnp.full(K, horizon)))
+        traj_len = jnp.full((K,), n_steps + 1, jnp.int32)
+
+        # a triangle parked near the lane, padded to V=5 (degenerate edges)
+        tri = np.asarray([[16.0, -0.5], [20.0, -0.5], [18.0, 1.5]])
+        padded = np.concatenate([tri, np.repeat(tri[-1:], 2, axis=0)])
+        T = n_steps + 1
+        obstacles = co.ObstacleArrays(
+            pose=jnp.zeros((0, T, 3), dtype),
+            half_ext=jnp.zeros((0, 2), dtype),
+            valid=jnp.zeros((0, T), dtype=bool),
+            poly_verts=jnp.asarray(np.tile(padded[None, None], (1, T, 1, 1)),
+                                   dtype),
+            poly_valid=jnp.ones((1, T), dtype=bool))
+        corridor = co.CorridorArrays(d_lo=jnp.full((n,), -1e9, dtype),
+                                     d_hi=jnp.full((n,), 1e9, dtype))
+        cost_params = cycle_ops.CostParams(
+            w_a=dtype(5.0), desired_d=dtype(0.0), desired_speed=dtype(10.0),
+            desired_s=dtype(0.0))
+        kwargs = dict(dt=dt, n_steps=n_steps, low_vel_mode=False,
+                      cost_structure=("default", True, False),
+                      constraint_flags=(True,) * 5)
+
+        xla = cycle_ops.evaluate_level(
+            jnp.asarray(c_lon, dtype), jnp.asarray(c_lat, dtype), traj_len,
+            jnp.ones(K, dtype=bool), ref, veh, obstacles, None, corridor,
+            dtype(0.0), cost_params, boundary_mode="corridor", **kwargs)
+        fast = cycle_ops.evaluate_level_fast(
+            jnp.asarray(c_lon, dtype), jnp.asarray(c_lat, dtype), traj_len,
+            jnp.ones(K, dtype=bool), ref, veh, obstacles, corridor,
+            dtype(0.0), cost_params, interpret=True, **kwargs)
+
+        xla_collides = np.asarray(xla.masks)[1].astype(bool)
+        xla_feasible = np.asarray(xla.masks)[0].astype(bool)
+        fast_masked = np.asarray(fast.costs)
+        assert xla_collides.any() and not xla_collides.all()
+        np.testing.assert_array_equal(
+            np.isinf(fast_masked), ~(xla_feasible & ~xla_collides))
+        assert int(np.asarray(xla.scalars)[0]) == int(np.asarray(fast.scalars)[0])
