@@ -141,3 +141,29 @@ def test_circle_obstacle_drive(tmp_path, fast):
     near_tri = [s for s in traj.state_list if 70 < s.position[0] < 80]
     assert near_tri, "run must pass the triangle's x-span"
     assert max(s.position[1] for s in near_tri) < 1.6
+
+
+def test_plan_scan_with_shape_obstacles(tmp_path):
+    """plan_scan windows the disc AND polygon groups per cycle on device:
+    same recorded trajectory as the host fast loop on the shape scenario."""
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+
+    host = _drive(tmp_path, fast=True)
+    assert host.goal_reached()
+    want = host.record_state_list
+
+    config = _config(tmp_path, fast=True)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    info = planner.plan_scan(24)
+
+    assert info["goal_reached"]
+    got = planner.record_state_list
+    assert len(got) == len(want), (len(got), len(want))
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(b.position, a.position, atol=5e-3)
