@@ -289,3 +289,62 @@ def test_fleet_mid_scan_checkpoint_resume(repo_root, tmp_path):
         np.asarray(metrics6.best_cost),
         np.concatenate([np.asarray(metrics_a.best_cost),
                         np.asarray(metrics_b.best_cost)]))
+
+
+def test_fleet_disc_obstacles_xla_vs_pallas(repo_root, tmp_path):
+    """Fleet scenes with CIRCLE obstacles: the radius column flows through
+    build_fleet_scene into both fleet scans; the XLA scan and the Pallas
+    scan agree on per-cycle success and carries for a disc-blocked lane."""
+    import textwrap
+
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel import pallas_fleet
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+    from commonroad_rp_tpu.utils.general import load_scenario_and_planning_problem
+    from commonroad_rp_tpu.utils.route import RoutePlanner
+    from tests.test_circle_obstacle_e2e import _SCENARIO
+
+    path = tmp_path / "SYN_Disc-1_1.xml"
+    path.write_text(textwrap.dedent(_SCENARIO))
+    scenario, pp, _ = load_scenario_and_planning_problem(str(path))
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    n_steps = 15
+    problem = fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=30,
+        dtype=jnp.float32)
+    # polygon group is facade-only on the fleet path: strip it (the XML has
+    # a triangle too) and keep the disc + boundary corridor
+    from commonroad_rp_tpu.ops.collision import ObstacleArrays
+    obs = problem["obstacles"]
+    # shift the disc toward the right edge so the single-level grid (no
+    # escalation in the fleet scan) can dodge it at d = 1.5
+    pose = np.asarray(obs.pose).copy()
+    pose[0, :, 1] = -2.2
+    problem["obstacles"] = ObstacleArrays(pose=jnp.asarray(pose, jnp.float32),
+                                          half_ext=obs.half_ext,
+                                          valid=obs.valid, radius=obs.radius)
+    assert obs.radius is not None and float(np.asarray(obs.radius)[0]) > 0
+
+    scene, carry = fleet_ops.build_fleet_scene([problem] * 2, n_steps,
+                                               dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(scene.obs_radius)[:, 0], 1.8)
+
+    # 10 cycles x 3 steps at ~15 m/s: the fleet passes the disc at x=45
+    run_xla = _fleet_runner(make_fleet_mesh(1), n_steps=n_steps, n_cycles=10)
+    final_x, metrics_x = run_xla(carry, scene)
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * 0.1, 0.1, -3.0, 3.0, 4)
+    run_p = pallas_fleet.make_pallas_fleet_scan(
+        scene, grid, 0.1, n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * 0.1, n_cycles=10,
+        interpret=jax.default_backend() != "tpu")
+    final_p, metrics_p = run_p(carry)
+
+    assert bool(np.asarray(metrics_x.found).all())
+    np.testing.assert_array_equal(np.asarray(metrics_p[0]),
+                                  np.asarray(metrics_x.found))
+    np.testing.assert_allclose(np.asarray(final_p.x0_lon),
+                               np.asarray(final_x.x0_lon), atol=1e-4)
+    # the disc must bite: the carried lateral offset leaves the center
+    # while passing it (x0 starts at d~0; metrics x confirms progress)
+    assert float(np.asarray(metrics_x.x).max()) > 45.0
+    assert float(np.abs(np.asarray(final_x.x0_lat)[:, 0]).max()) > 0.2
