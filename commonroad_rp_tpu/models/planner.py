@@ -540,8 +540,12 @@ class ReactivePlanner:
         tens of ms for per-cycle ``plan()`` calls).
 
         Scope: the fast-path scope (velocity-keeping mode, float32 kernels,
-        corridor/no boundary, box/disc obstacles, default cost with a speed
-        target) and ``planning.factor == 1``.  Raises ValueError outside it.
+        corridor/no boundary, default cost with a speed target) and
+        ``planning.factor == 1``.  Raises ValueError outside it.  The
+        standstill fallback (reactive_planner.py:638-653) is host logic and
+        is NOT applied inside the scan: for standstill starts (v ~ 0) drive
+        the first cycles with ``plan()`` and switch to ``plan_scan`` once
+        moving.
 
         Returns a dict with ``goal_reached``, ``cycles_run``, ``steps``,
         per-cycle ``found``/``best_cost``/rejection counters; with

@@ -33,6 +33,12 @@ from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
 
 _TILE_K = 256
+# steps per gather matmul. Values > 1 would batch C steps' queries into one
+# [16, P] x [P, C*TILE] MXU op (C-fold fewer invocations, interpret-mode
+# exact), but Mosaic cannot lower the lane-axis query concat as of this
+# toolchain: "Not implemented: result/input offset mismatch on non-concat
+# dimension" (measured 2026-08-18). Keep 1 until the lowering lands.
+_GATHER_CHUNK = 1
 _LANE = 128
 _NUM_COLS = 12
 _OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
@@ -247,19 +253,33 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     pre_vel = jnp.any(s_dot < -_EPS, axis=0, keepdims=True)
     prefiltered = pre_acc | pre_vel                                # [1, TILE]
 
-    # ---- table gathers per time chunk (MXU one-hot), strictly 2-D --------
-    # one [16, P] x [P, TILE] matmul per step (exact 3-term bf16 split):
-    # rows 0..11 = lo columns, 12..15 = hi interpolation columns
+    # ---- table gathers (MXU one-hot), strictly 2-D ------------------------
+    # steps are gathered in chunks of _GATHER_CHUNK: the query rows concat
+    # along the LANE axis into [1, C*TILE], one interval-test one-hot
+    # [P, C*TILE] feeds one [16, P] x [P, C*TILE] matmul per bf16 split term
+    # — C-fold fewer MXU invocations than the per-step form (exactness
+    # unchanged: same one-hot rows, same 3-term f32 reconstruction); the
+    # per-step [16, TILE] views are lane-aligned static slices
     s_col = table[:, 0:1]                                   # [P, 1]
+    TILE = s.shape[1]
     lo_cols = [[] for _ in range(_NUM_COLS)]
     hi_cols = [[] for _ in range(4)]
-    for c in range(T):                                      # static, small T
-        vals = _lookup_pair(s[c:c + 1, :], s_col, pair_t0, pair_t1,
-                            pair_t2)                        # [16, TILE]
-        for col in range(_NUM_COLS):
-            lo_cols[col].append(vals[col:col + 1, :])
-        for col in range(4):
-            hi_cols[col].append(vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
+    for c0 in range(0, T, _GATHER_CHUNK):                   # static, small T
+        c1 = min(c0 + _GATHER_CHUNK, T)
+        if c1 - c0 == 1:
+            s_wide = s[c0:c0 + 1, :]
+        else:
+            s_wide = jnp.concatenate([s[c:c + 1, :] for c in range(c0, c1)],
+                                     axis=1)                # [1, C*TILE]
+        wide = _lookup_pair(s_wide, s_col, pair_t0, pair_t1,
+                            pair_t2)                        # [16, C*TILE]
+        for i in range(c1 - c0):
+            vals = wide[:, i * TILE:(i + 1) * TILE]
+            for col in range(_NUM_COLS):
+                lo_cols[col].append(vals[col:col + 1, :])
+            for col in range(4):
+                hi_cols[col].append(
+                    vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
     cat = lambda rows: jnp.concatenate(rows, axis=0)        # [T, TILE]
     lo_s, lo_theta, lo_curv, lo_curv_d = (cat(lo_cols[i]) for i in range(4))
     hi_s, hi_theta, hi_curv, hi_curv_d = (cat(hi_cols[i]) for i in range(4))

@@ -90,6 +90,10 @@ def obb_collision_pallas(x: jnp.ndarray, y: jnp.ndarray, theta: jnp.ndarray,
     obstacle pass (same center-shift construction,
     reactive_planner.py:1033-1041).
     """
+    assert obstacles.radius is None and obstacles.poly_verts is None, \
+        ("obb_collision_pallas handles OBB rows only; disc/polygon groups "
+         "are fused in ops.pallas_cycle (a disc row's (0, 0) half extents "
+         "would silently never collide here)")
     K, T = x.shape
     M = obstacles.pose.shape[0]
     if M == 0:

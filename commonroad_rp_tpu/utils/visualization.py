@@ -51,7 +51,11 @@ def _draw_shape(ax, shape, center, orientation, **kwargs):
         ax.add_patch(patches.Circle(np.asarray(center) + shape.center,
                                     shape.radius, **kwargs))
     elif isinstance(shape, Polygon):
-        ax.add_patch(patches.Polygon(shape.points, closed=True, **kwargs))
+        # body-frame vertices -> world via the obstacle state pose
+        c, s = np.cos(orientation), np.sin(orientation)
+        rot = np.array([[c, -s], [s, c]])
+        pts = np.asarray(shape.points) @ rot.T + np.asarray(center)
+        ax.add_patch(patches.Polygon(pts, closed=True, **kwargs))
 
 
 def _draw_obstacles(ax, scenario: Scenario, timestep: int = 0):
