@@ -22,7 +22,6 @@ import numpy as np
 from commonroad_rp_tpu.models.cost_functions import (CostFunction,
                                                      DefaultCostFunction)
 from commonroad_rp_tpu.models.sampling import (CandidateBatch,
-                                               FixedIntervalSampling,
                                                PositionSampling, SamplingSpace,
                                                TimeSampling, VelocitySampling,
                                                sampling_space_factory)

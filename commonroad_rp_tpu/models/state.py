@@ -8,7 +8,7 @@ the control-input records of reactive_planner.py:405-408.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass, fields
 from typing import Optional
 
 import numpy as np

@@ -14,10 +14,9 @@ from typing import Optional
 
 import numpy as np
 
-from commonroad_rp_tpu.utils.scenario import (AngleInterval, Circle,
-                                              DynamicObstacle, Interval,
-                                              Polygon, PlanningProblemSet,
-                                              Rectangle, Scenario)
+from commonroad_rp_tpu.utils.scenario import (Circle, Interval, Polygon,
+                                              PlanningProblemSet, Rectangle,
+                                              Scenario)
 
 
 def _point(parent: ET.Element, tag: str, xy) -> ET.Element:

@@ -10,7 +10,7 @@ colored by feasibility status.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
