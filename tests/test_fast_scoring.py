@@ -308,3 +308,46 @@ def test_plan_scan_scope_gate(repo_root):
     planner.set_desired_velocity(current_speed=planner.x_0.velocity)
     with pytest.raises(ValueError):
         planner.plan_scan(2)
+
+
+def test_plan_scan_tjunction_dense_traffic(repo_root):
+    """plan_scan drives the 10-dynamic-obstacle T-junction end to end —
+    yield phase included — with the same steps as the host fast loop
+    (on-device level escalation must kick in when low levels are blocked)."""
+    from tests.test_planner_e2e import _run_loop
+
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Tjunction-1_42_T-1.yaml",
+        "ZAM_Tjunction-1_42_T-1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Tjunction-1_42_T-1.xml")
+    config.update()
+    config.debug.fast_scoring = True
+    config.debug.kernel_dtype = "float32"
+    host = _run_loop(config, max_steps=200)
+    assert host.goal_reached()
+    want = host.record_state_list
+
+    config2 = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Tjunction-1_42_T-1.yaml",
+        "ZAM_Tjunction-1_42_T-1.xml")
+    config2.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config2.general.set_path_scenario("ZAM_Tjunction-1_42_T-1.xml")
+    config2.update()
+    config2.debug.fast_scoring = True
+    config2.debug.kernel_dtype = "float32"
+    route = RoutePlanner(config2.scenario,
+                         config2.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config2)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    # 50 cycles x 3 steps covers the 146-step run
+    info = planner.plan_scan(50)
+
+    assert info["goal_reached"]
+    got = planner.record_state_list
+    assert len(got) == len(want), (len(got), len(want))
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-2)
