@@ -112,6 +112,7 @@ def main():
                       velocity, carry.time_step[0], carry.alive[0],
                       take(scene.ref), scene.obs_pose[0], scene.obs_half[0],
                       scene.obs_valid[0], scene.obs_radius[0],
+                      scene.poly_verts[0], scene.poly_valid[0],
                       scene.corridor_lo[0], scene.corridor_hi[0],
                       scene.desired_speed[0])
 

@@ -567,7 +567,7 @@ class ReactivePlanner:
         if not ctx["fast_ok"]:
             raise ValueError("plan_scan requires the fast-path scope "
                              "(debug.fast_scoring, float32 kernels, "
-                             "corridor/none boundary, box/disc obstacles, "
+                             "corridor/none boundary, "
                              "default cost with speed target)")
         if self.config.sampling.longitudinal_mode != "velocity_keeping":
             raise ValueError("plan_scan supports velocity-keeping mode")

@@ -369,7 +369,8 @@ def _evaluate_level_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid,
     device.  Supported scope (the facade falls back to
     :func:`evaluate_level` otherwise): float32, 'default' cost structure
     with a velocity target, corridor or no road boundary, discrete
-    collision, box/disc obstacles, no trajectory-set capture.
+    collision, no trajectory-set capture (all obstacle shapes run
+    natively in the kernel).
     Single-level specialization of :func:`_evaluate_levels_fast`.
     """
     level_ids = jnp.zeros(coeffs_lon.shape[0], jnp.int32)

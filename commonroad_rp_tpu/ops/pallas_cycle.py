@@ -723,6 +723,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         ref_s_last: jnp.ndarray,
                         desired_s: jnp.ndarray | None = None,
                         obs_radius: jnp.ndarray | None = None,
+                        poly_table: jnp.ndarray | None = None,
                         *, n_steps: int,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
@@ -797,11 +798,19 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
          jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
     pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
 
-    poly = jnp.zeros((F, 1, T, 3), dtype)   # fleet scenes carry box/disc only
+    # polygon group: [F, Mp, T, 2V + 1] (pack with interleaved world vertex
+    # coords + validity); dummy when the fleet has no polygon obstacles
+    if poly_table is None:
+        poly_table = jnp.zeros((F, 1, T, 3), dtype)
+        Mp, Vp = 0, 1
+    else:
+        Mp = poly_table.shape[1]
+        Vp = (poly_table.shape[-1] - 1) // 2
+    poly = poly_table.astype(dtype)
     grid = (F, K_pad // _TILE_K)
     out = pl.pallas_call(
         functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, n_polys=0, n_poly_verts=1,
+                          n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
                           check_flags=check_flags,
                           has_desired_s=has_desired_s),
         out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
@@ -829,7 +838,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max(M, 1), T, _OBS_COLS), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, T, 3), lambda f, i: (f, 0, 0, 0),
+            pl.BlockSpec((1, max(Mp, 1), T, poly.shape[-1]),
+                         lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),

@@ -42,6 +42,8 @@ class FleetScene(NamedTuple):
     obs_half: jnp.ndarray                  # [F, M, 2]
     obs_valid: jnp.ndarray                 # [F, M, T_scene]
     obs_radius: jnp.ndarray                # [F, M] disc radius (0 = OBB row)
+    poly_verts: jnp.ndarray                # [F, Mp, T_scene, V, 2] (Mp may be 0)
+    poly_valid: jnp.ndarray                # [F, Mp, T_scene]
     corridor_lo: jnp.ndarray               # [F, P] drivable band lower offset
     corridor_hi: jnp.ndarray               # [F, P] drivable band upper offset
     desired_speed: jnp.ndarray             # [F]
@@ -74,6 +76,7 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                           time_step, alive,
                           ref: frenet_ops.RefPathTables,
                           obs_pose, obs_half, obs_valid, obs_radius,
+                          poly_verts, poly_valid,
                           corridor_lo, corridor_hi, desired_speed,
                           veh: kin_ops.VehicleArrays,
                           *, static_grid: grid_ops.StaticGrid,
@@ -104,9 +107,18 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
     window_valid = jax.lax.dynamic_slice_in_dim(obs_valid, time_step, T, axis=1)
     abs_step = time_step + jnp.arange(T, dtype=jnp.int32)
     window_valid = window_valid & (abs_step < obs_pose.shape[1])[None, :]
+    if poly_verts.shape[0] > 0:
+        poly_w = jax.lax.dynamic_slice_in_dim(poly_verts, time_step, T, axis=1)
+        poly_valid_w = jax.lax.dynamic_slice_in_dim(
+            poly_valid, time_step, T, axis=1) & \
+            (abs_step < poly_verts.shape[1])[None, :]
+    else:
+        poly_w = poly_valid_w = None
     obstacles = collision_ops.ObstacleArrays(pose=window_pose, half_ext=obs_half,
                                              valid=window_valid,
-                                             radius=obs_radius)
+                                             radius=obs_radius,
+                                             poly_verts=poly_w,
+                                             poly_valid=poly_valid_w)
     collides = collision_ops.check_collisions(
         rollout.x, rollout.y, rollout.theta_gl, obstacles, None,
         veh.half_length, veh.half_width, veh.wb_rear_axle)
@@ -162,13 +174,14 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
         n_steps=n_steps, replan_offset=replan_offset,
         low_vel_threshold=low_vel_threshold, horizon=horizon)
     vcycle = jax.vmap(cycle,
-                      in_axes=(0,) * 14 + (None if veh is not None else 0,))
+                      in_axes=(0,) * 16 + (None if veh is not None else 0,))
 
     def local_step(carry: FleetCarry, scene: FleetScene):
         out_carry, (found, best_cost, x, y) = vcycle(
             carry.x0_lon, carry.x0_lat, carry.orientation, carry.velocity,
             carry.time_step, carry.alive, scene.ref, scene.obs_pose,
-            scene.obs_half, scene.obs_valid, scene.obs_radius, scene.corridor_lo,
+            scene.obs_half, scene.obs_valid, scene.obs_radius,
+            scene.poly_verts, scene.poly_valid, scene.corridor_lo,
             scene.corridor_hi, scene.desired_speed,
             veh if veh is not None else scene.veh)
         new_carry = FleetCarry(*out_carry)
@@ -190,6 +203,7 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                       *([P(FLEET_AXIS)] * 8)),
                       obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
                       obs_valid=P(FLEET_AXIS), obs_radius=P(FLEET_AXIS),
+                      poly_verts=P(FLEET_AXIS), poly_valid=P(FLEET_AXIS),
                       corridor_lo=P(FLEET_AXIS),
                       corridor_hi=P(FLEET_AXIS),
                       desired_speed=P(FLEET_AXIS),
@@ -292,10 +306,6 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
           for f in frenet_ops.RefPathTables._fields])
 
     def pad_obstacles(obs: collision_ops.ObstacleArrays):
-        if obs.poly_verts is not None:
-            raise ValueError(
-                "fleet scenes support box/disc obstacles; polygon obstacles "
-                "are exact on the facade path (ops.collision.check_collisions)")
         M = obs.pose.shape[0]
         T = obs.pose.shape[1] if M else 0
         pose = np.zeros((M_max, T_max, 3))
@@ -315,6 +325,29 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     obs_half = jnp.asarray(np.stack([o[1] for o in obs]), dtype)
     obs_valid = jnp.asarray(np.stack([o[2] for o in obs]))
     obs_radius = jnp.asarray(np.stack([o[3] for o in obs]), dtype)
+
+    # polygon group: pad every problem to (Mp_max, V_max) with invalid
+    # pieces / repeated final vertices (degenerate edges never separate)
+    Mp_max = max((p["obstacles"].poly_verts.shape[0]
+                  if p["obstacles"].poly_verts is not None else 0)
+                 for p in problems)
+    V_max = max((p["obstacles"].poly_verts.shape[2]
+                 if p["obstacles"].poly_verts is not None else 1)
+                for p in problems)
+    poly_verts = np.zeros((F, Mp_max, T_max, V_max, 2))
+    poly_valid = np.zeros((F, Mp_max, T_max), dtype=bool)
+    for f, p in enumerate(problems):
+        pv = p["obstacles"].poly_verts
+        if pv is None:
+            continue
+        pv = np.asarray(pv)
+        mp, t_p, v_p = pv.shape[0], pv.shape[1], pv.shape[2]
+        padded = np.concatenate(
+            [pv, np.repeat(pv[:, :, -1:, :], V_max - v_p, axis=2)], axis=2)
+        poly_verts[f, :mp, :t_p] = padded
+        poly_valid[f, :mp, :t_p] = np.asarray(p["obstacles"].poly_valid)
+    poly_verts = jnp.asarray(poly_verts, dtype)
+    poly_valid = jnp.asarray(poly_valid)
 
     def pad_corridor(c: collision_ops.CorridorArrays):
         n = c.d_lo.shape[0]
@@ -345,6 +378,7 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
     scene = FleetScene(
         ref=ref_stacked, obs_pose=obs_pose, obs_half=obs_half,
         obs_valid=obs_valid, obs_radius=obs_radius,
+        poly_verts=poly_verts, poly_valid=poly_valid,
         corridor_lo=corridor_lo, corridor_hi=corridor_hi,
         desired_speed=jnp.asarray([p["desired_speed"] for p in problems], dtype),
         veh=veh_stacked)

@@ -194,6 +194,21 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         obs_pose_w, obs_valid_w = jax.vmap(window)(
             scene.obs_pose, scene.obs_valid, carry.time_step)
 
+        poly_table = None
+        if scene.poly_verts.shape[1] > 0:
+            def poly_window(verts, valid, step):
+                wv = jax.lax.dynamic_slice_in_dim(verts, step, T, axis=1)
+                wl = jax.lax.dynamic_slice_in_dim(valid, step, T, axis=1)
+                abs_step = step + jnp.arange(T, dtype=jnp.int32)
+                return wv, wl & (abs_step < verts.shape[1])[None, :]
+
+            poly_w, poly_valid_w = jax.vmap(poly_window)(
+                scene.poly_verts, scene.poly_valid, carry.time_step)
+            Fp, Mp, _, Vp, _ = poly_w.shape
+            poly_table = jnp.concatenate(
+                [poly_w.reshape(Fp, Mp, T, 2 * Vp).astype(dtype),
+                 poly_valid_w.astype(dtype)[..., None]], axis=-1)
+
         costs, kin_costs, _ = pallas_cycle._score_fleet_pallas(
             cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
             obs_pose_w, scene.obs_half, obs_valid_w, veh_stack,
@@ -201,6 +216,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             scene.desired_speed.astype(dtype), jnp.zeros(F, dtype),
             jnp.full(F, 5.0, dtype), ref_s_last,
             obs_radius=scene.obs_radius.astype(dtype),
+            poly_table=poly_table,
             n_steps=n_steps, interpret=interpret)          # [F, K] each
 
         best = jnp.argmin(costs, axis=1)                   # [F]
@@ -274,6 +290,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         scene_spec = FleetScene(
             ref=frenet_ops.RefPathTables(*([f] * 8)),
             obs_pose=f, obs_half=f, obs_valid=f, obs_radius=f,
+            poly_verts=f, poly_valid=f,
             corridor_lo=f, corridor_hi=f, desired_speed=f,
             veh=kin_ops.VehicleArrays(*([f] * 8)))
         metrics_spec = (P(None, FLEET_AXIS), P(None, FLEET_AXIS),

@@ -103,6 +103,45 @@ def main():
         print("winner parity:", "IDENTICAL" if sel_same else "MISMATCH")
         assert sel_same
 
+        # ---- fleet kernel with a live polygon table (F = 2) ---------------
+        from commonroad_rp_tpu.ops import pallas_cycle
+
+        F = 2
+        rep = lambda a: jnp.broadcast_to(a[None], (F,) + a.shape)
+        packed1 = pallas_cycle.pack_ref_tables(ref, corridor)
+        Mp, Vp = 1, 5
+        poly_tab = jnp.concatenate(
+            [obstacles.poly_verts.reshape(Mp, T, 2 * Vp),
+             obstacles.poly_valid.astype(dtype)[..., None]],
+            axis=-1)                                       # [Mp, T, 2V+1]
+        veh_stack = pallas_cycle.pack_veh_stack(
+            jax.tree.map(lambda a: jnp.broadcast_to(a, (F,)), veh))
+        fleet_rows = pallas_cycle.score_fleet_pallas(
+            rep(jnp.asarray(c_lon, dtype)), rep(jnp.asarray(c_lat, dtype)),
+            rep(traj_len), jnp.ones((F, K), dtype=bool), rep(packed1),
+            rep(obstacles.pose), rep(obstacles.half_ext),
+            rep(obstacles.valid), veh_stack,
+            jnp.zeros(F, dtype), dt, jnp.zeros(F, dtype),
+            jnp.full(F, 10.0, dtype), jnp.zeros(F, dtype),
+            jnp.full(F, 5.0, dtype),
+            jnp.full(F, pallas_cycle.true_path_length(ref), dtype),
+            obs_radius=rep(obstacles.radius), poly_table=rep(poly_tab),
+            n_steps=n_steps)
+        single_rows = pallas_cycle.score_candidates_pallas(
+            jnp.asarray(c_lon, dtype), jnp.asarray(c_lat, dtype), traj_len,
+            jnp.ones(K, dtype=bool), packed1, obstacles, veh,
+            dtype(0.0), dt, jnp.asarray(False), dtype(10.0), dtype(0.0),
+            dtype(5.0), pallas_cycle.true_path_length(ref), n_steps=n_steps)
+        mism_f = 0
+        for f in range(F):
+            got_f = np.stack([np.asarray(r[f]) for r in fleet_rows])
+            want_f = np.stack([np.asarray(r) for r in single_rows])
+            diff = (got_f != want_f) & ~(np.isnan(got_f) & np.isnan(want_f))
+            mism_f += int(diff.sum())
+        print("fleet-poly parity:", "BIT-IDENTICAL" if mism_f == 0
+              else f"{mism_f} mismatches")
+        assert mism_f == 0
+
 
 if __name__ == "__main__":
     main()

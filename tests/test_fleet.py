@@ -317,13 +317,17 @@ def test_fleet_disc_obstacles_xla_vs_pallas(repo_root, tmp_path):
     from commonroad_rp_tpu.ops.collision import ObstacleArrays
     obs = problem["obstacles"]
     # shift the disc toward the right edge so the single-level grid (no
-    # escalation in the fleet scan) can dodge it at d = 1.5
+    # escalation in the fleet scan) can dodge it at d = 1.5; the scenario's
+    # triangle (x~72..78, jutting from the left) stays as the polygon group
     pose = np.asarray(obs.pose).copy()
     pose[0, :, 1] = -2.2
     problem["obstacles"] = ObstacleArrays(pose=jnp.asarray(pose, jnp.float32),
                                           half_ext=obs.half_ext,
-                                          valid=obs.valid, radius=obs.radius)
+                                          valid=obs.valid, radius=obs.radius,
+                                          poly_verts=obs.poly_verts,
+                                          poly_valid=obs.poly_valid)
     assert obs.radius is not None and float(np.asarray(obs.radius)[0]) > 0
+    assert obs.poly_verts is not None
 
     scene, carry = fleet_ops.build_fleet_scene([problem] * 2, n_steps,
                                                dtype=jnp.float32)
