@@ -540,11 +540,12 @@ class ReactivePlanner:
 
         Scope: the fast-path scope (velocity-keeping mode, float32 kernels,
         corridor/no boundary, default cost with a speed target) and
-        ``planning.factor == 1``.  Raises ValueError outside it.  The
-        standstill fallback (reactive_planner.py:638-653) is host logic and
-        is NOT applied inside the scan: for standstill starts (v ~ 0) drive
-        the first cycles with ``plan()`` and switch to ``plan_scan`` once
-        moving.
+        ``planning.factor == 1``.  Raises ValueError outside it.  Standstill
+        STARTS work (low-velocity mode runs on device — ZAM-Ramp pinned in
+        tests), but the standstill FALLBACK (reactive_planner.py:638-653,
+        engaged only when no candidate is feasible at v ~ 0) is host logic
+        the scan does not apply: a fully blocked standstill scene freezes
+        the carry instead; drive such cycles with ``plan()``.
 
         Returns a dict with ``goal_reached``, ``cycles_run``, ``steps``,
         per-cycle ``found``/``best_cost``/rejection counters; with

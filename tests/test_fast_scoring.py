@@ -351,3 +351,41 @@ def test_plan_scan_tjunction_dense_traffic(repo_root):
     assert len(got) == len(want), (len(got), len(want))
     for a, b in zip(want, got):
         np.testing.assert_allclose(b.position, a.position, atol=1e-2)
+
+
+def test_plan_scan_standstill_start_ramp(repo_root):
+    """plan_scan from a standstill start (ZAM-Ramp, v=0: low-velocity mode
+    + arclength lateral parameterization on device): same steps as the host
+    fast loop. (The host-side standstill FALLBACK never triggers here —
+    the first cycle finds an accelerating trajectory.)"""
+    from tests.test_planner_e2e import _run_loop
+
+    def cfg():
+        config = ReactivePlannerConfiguration.load(
+            repo_root / "configurations" / "ZAM-Ramp-1_1-T-1.yaml",
+            "ZAM-Ramp-1_1-T-1.xml")
+        config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+        config.general.set_path_scenario("ZAM-Ramp-1_1-T-1.xml")
+        config.update()
+        config.debug.fast_scoring = True
+        config.debug.kernel_dtype = "float32"
+        return config
+
+    host = _run_loop(cfg(), max_steps=100)
+    assert host.goal_reached()
+
+    config = cfg()
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    info = planner.plan_scan(20)
+
+    assert info["goal_reached"]
+    want, got = host.record_state_list, planner.record_state_list
+    assert len(got) == len(want)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(b.position, a.position, atol=5e-3)
