@@ -389,3 +389,41 @@ def test_plan_scan_standstill_start_ramp(repo_root):
     assert len(got) == len(want)
     for a, b in zip(want, got):
         np.testing.assert_allclose(b.position, a.position, atol=5e-3)
+
+
+def test_plan_scan_dynamic_obstacles_deu(repo_root):
+    """plan_scan with time-variant obstacle windows (DEU_Test, 2 moving
+    vehicles): the device window slicing at the carried time step must
+    reproduce the host fast loop exactly. With this, all four bundled
+    scenarios drive to goal through plan_scan."""
+    from tests.test_planner_e2e import _run_loop
+
+    def cfg():
+        config = ReactivePlannerConfiguration.load(
+            repo_root / "configurations" / "DEU_Test-1_1_T-1.yaml",
+            "DEU_Test-1_1_T-1.xml")
+        config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+        config.general.set_path_scenario("DEU_Test-1_1_T-1.xml")
+        config.update()
+        config.debug.fast_scoring = True
+        config.debug.kernel_dtype = "float32"
+        return config
+
+    host = _run_loop(cfg(), max_steps=100)
+    assert host.goal_reached()
+
+    config = cfg()
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    info = planner.plan_scan(16)
+
+    assert info["goal_reached"]
+    want, got = host.record_state_list, planner.record_state_list
+    assert len(got) == len(want)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(b.position, a.position, atol=5e-3)
