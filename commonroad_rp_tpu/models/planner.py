@@ -594,7 +594,10 @@ class ReactivePlanner:
         cf = self.cost_function
         # cache the built scan: rebuilding retraces the whole program (~1 s)
         # even when the compiled executable is cached
-        cache_key = (n_cycles, freq, self.N, span, id(self._co),
+        # the key holds the CoordinateSystem object itself (identity
+        # compare + a strong ref): an id() key could alias a NEW object
+        # allocated at a freed one's address
+        cache_key = (n_cycles, freq, self.N, span, self._co,
                      float(self._desired_speed),
                      float(getattr(cf, "w_a", 5.0)),
                      float(getattr(cf, "desired_d", 0.0)), ctx["flags"])
