@@ -32,7 +32,8 @@ from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
 
-_TILE_K = 256
+_TILE_K = 128   # hardware sweep 2026-08-19: 128 beats 256/512 by 13-25%
+                # (smaller VMEM working set pipelines better across the grid)
 # steps per gather matmul. Values > 1 would batch C steps' queries into one
 # [16, P] x [P, C*TILE] MXU op (C-fold fewer invocations, interpret-mode
 # exact), but Mosaic cannot lower the lane-axis query concat as of this
@@ -147,13 +148,33 @@ def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2):
 def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
     """Corridor-band gather on the VPU: (d_lo, d_hi) each [1, TILE] at the
     probe arclength's table row.  A broadcast-multiply-reduce against the
-    [P, 1] band columns — exact (0/1 mask, single nonzero per column) and
-    much cheaper than an MXU one-hot matmul whose 2 useful rows would be
-    padded to the 128-row tile.  Probe arclengths are clamped into
+    [P, 1] band columns — exact (0/1 mask, single nonzero per column).
+    Reference construction for ``_probe_band_mxu`` (the kernel's fast form);
+    kept for the conformance tests.  Probe arclengths are clamped into
     [0, ref_s_last], so ``_onehot_at``'s interval test always hits a row."""
     onehot = _onehot_at(s_chunk, s_col, jnp.float32)
     d_lo = jnp.sum(onehot * d_lo_col, axis=0, keepdims=True)
     d_hi = jnp.sum(onehot * d_hi_col, axis=0, keepdims=True)
+    return d_lo, d_hi
+
+
+def _probe_band_mxu(s_chunk, s_col, band_tab):
+    """Corridor-band gather on the MXU: (d_lo, d_hi) each [1, TILE].
+
+    ``band_tab`` is the [6, P] bf16 stack (split3 terms of d_lo in rows 0..2,
+    of d_hi in rows 3..5 — static row slices of the pair tables, see the
+    corridor block in ``_scoring_body``).  One small matmul per probe replaces
+    two [P, TILE] f32 multiply-reduces — the VPU probe loop was ~58% of the
+    whole kernel (measured on hardware, 2026-08-19).  Exact: the one-hot is
+    0/1 (exact in bf16), each product selects one split term with f32
+    accumulation, and the 3-term sum reconstructs the f32 band bit-for-bit
+    (same argument as ``_lookup_pair``), so results are identical to
+    ``_probe_band``."""
+    onehot = _onehot_at(s_chunk, s_col, jnp.bfloat16)
+    wide = jax.lax.dot_general(band_tab, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [6, TILE]
+    d_lo = (wide[0:1, :] + wide[1:2, :]) + wide[2:3, :]
+    d_hi = (wide[3:4, :] + wide[4:5, :]) + wide[5:6, :]
     return d_lo, d_hi
 
 
@@ -455,15 +476,19 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
-    d_lo_col = table[:, 4:5]                                # [P, 1]
-    d_hi_col = table[:, 5:6]
+    # [6, P] bf16 band table: split3 terms of d_lo (pair rows 4) then d_hi
+    # (pair rows 5) — static sublane slices of the pair tables, so the MXU
+    # probe gather reconstructs the f32 bands bit-exactly (_probe_band_mxu)
+    band_tab = jnp.concatenate(
+        [pair_t0[4:5], pair_t1[4:5], pair_t2[4:5],
+         pair_t0[5:6], pair_t1[5:6], pair_t2[5:6]], axis=0)
     for offset in (-1.0, 0.0, 1.0):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
-            band_lo, band_hi = _probe_band(s_probe[c:c + 1, :], s_col,
-                                           d_lo_col, d_hi_col)
+            band_lo, band_hi = _probe_band_mxu(s_probe[c:c + 1, :], s_col,
+                                               band_tab)
             row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
                          > band_hi) |
                         (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
@@ -710,7 +735,8 @@ def score_fleet_pallas(*args, **kwargs):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
-                                             "has_desired_s", "interpret"))
+                                             "has_desired_s", "interpret",
+                                             "tile_k"))
 def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
                         packed_tables: jnp.ndarray,
@@ -727,7 +753,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         *, n_steps: int,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
-                        interpret: bool = False) -> jnp.ndarray:
+                        interpret: bool = False,
+                        tile_k: int | None = None) -> jnp.ndarray:
     """Fleet-batched fused scoring: one pallas grid over (problem, K-tile);
     returns (masked_costs, kin_costs) each [F, K] (see
     ``_score_candidates_pallas`` for the two rows' semantics).
@@ -753,7 +780,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     P = packed_tables.shape[1]
     M = obs_pose.shape[1]
 
-    K_pad = ((K + _TILE_K - 1) // _TILE_K) * _TILE_K
+    tile = tile_k or _TILE_K
+    K_pad = ((K + tile - 1) // tile) * tile
     pad = K_pad - K
     cl = jnp.pad(jnp.swapaxes(coeffs_lon, 1, 2).astype(dtype),
                  ((0, 0), (0, 0), (0, pad)))                     # [F, 6, Kp]
@@ -807,7 +835,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         Mp = poly_table.shape[1]
         Vp = (poly_table.shape[-1] - 1) // 2
     poly = poly_table.astype(dtype)
-    grid = (F, K_pad // _TILE_K)
+    grid = (F, K_pad // tile)
     out = pl.pallas_call(
         functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
                           n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
@@ -820,13 +848,13 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((1, 1, _NUM_SCALARS), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6, _TILE_K), lambda f, i: (f, 0, i),
+            pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, _TILE_K), lambda f, i: (f, 0, i),
+            pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+            pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+            pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, _NUM_COLS), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -842,11 +870,11 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+        out_specs=(pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                   pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, _TILE_K), lambda f, i: (f, 0, i),
+                   pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
     )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs, poly)
