@@ -294,7 +294,7 @@ def main():
         # for a whole fleet in one kernel launch per cycle
         from commonroad_rp_tpu.parallel import pallas_fleet
 
-        Fp, n_cycles_p = 64, 10
+        Fp, n_cycles_p = 128, 10
         fl_scene, fl_carry = fleet_ops.build_fleet_scene(
             [problem] * Fp, n_steps, dtype=dtype)
         run = pallas_fleet.make_pallas_fleet_scan(
@@ -400,7 +400,7 @@ def main():
         if pallas_evals_per_sec else None,
         "pallas_fleet_evals_per_sec": round(pallas_fleet_evals_per_sec, 1)
         if pallas_fleet_evals_per_sec else None,
-        "pallas_fleet_config": "64 problems x 10 cycles per call",
+        "pallas_fleet_config": "128 problems x 10 cycles per call",
         "pallas_t61_evals_per_sec": round(pallas_t61_evals_per_sec, 1)
         if pallas_t61_evals_per_sec else None,
         "t61_config": "K=5202, horizon 6 s (default N=60 config)",

@@ -792,9 +792,12 @@ class ReactivePlanner:
         if corridor is not None:
             return corridor
         P = int(np.asarray(self._co.tables.s).shape[0])
+        # +-BAND_CLAMP, not +-inf: the band-value contract (collision.py)
+        # keeps the kernel's prefix-difference gather exact, and a 32 m band
+        # never binds under the 19.9 m lateral projection-domain cap
         return collision_ops.CorridorArrays(
-            d_lo=jnp.full((P,), -1e9, jnp.float32),
-            d_hi=jnp.full((P,), 1e9, jnp.float32))
+            d_lo=jnp.full((P,), -collision_ops.BAND_CLAMP, jnp.float32),
+            d_hi=jnp.full((P,), collision_ops.BAND_CLAMP, jnp.float32))
 
     def _plan_all_levels_fast(self, x_0_lon, x_0_lat, start_level: int):
         """Fused level escalation on the Pallas scorer: every remaining

@@ -75,6 +75,30 @@ class CorridorArrays(NamedTuple):
     d_hi: jnp.ndarray                      # [P] left-side boundary offset (>0)
 
 
+# Corridor-band value contract: every band is a multiple of 2**-10 m (1 mm)
+# clamped to [-32, 32] m.  Semantics-free given the 19.9 m lateral
+# projection-domain cap (|d_center| + lat_ext < 24 m for any in-domain
+# candidate, so a band at +-32 never binds), and the quantization shrinks the
+# drivable band by at most 1 mm on each side (conservative: floor on d_hi,
+# ceil on d_lo).  The contract is what makes the Pallas scorer's
+# prefix-difference band gather bit-exact (ops.pallas_cycle._probe_band_prefix):
+# every band difference and every in-order partial sum is a multiple of
+# 2**-10 with magnitude far below 2**13, hence exactly representable in f32.
+BAND_CLAMP = 32.0
+_BAND_QUANTUM = 1024.0   # 2**10 per metre
+
+
+def quantize_bands(d_lo, d_hi):
+    """(d_lo, d_hi) quantized to the corridor-band value contract (see
+    module comment above): 1 mm grid, [-32, 32] m clamp, conservative
+    rounding (the band only ever shrinks)."""
+    d_hi_q = np.floor(np.clip(np.asarray(d_hi, np.float64), -BAND_CLAMP,
+                              BAND_CLAMP) * _BAND_QUANTUM) / _BAND_QUANTUM
+    d_lo_q = np.ceil(np.clip(np.asarray(d_lo, np.float64), -BAND_CLAMP,
+                             BAND_CLAMP) * _BAND_QUANTUM) / _BAND_QUANTUM
+    return d_lo_q, d_hi_q
+
+
 # ---------------------------------------------------------------------------
 # host-side scene compilation
 # ---------------------------------------------------------------------------
@@ -259,13 +283,15 @@ def compile_corridor(boundary: BoundaryArrays, ref_tables,
     P = len(points)
     if segments.shape[0] == 0:
         big = np.full(P, d_default)
-        return CorridorArrays(d_lo=jnp.asarray(-big, dtype),
-                              d_hi=jnp.asarray(big, dtype))
+        d_lo, d_hi = quantize_bands(-big, big)
+        return CorridorArrays(d_lo=jnp.asarray(d_lo, dtype),
+                              d_hi=jnp.asarray(d_hi, dtype))
 
     from commonroad_rp_tpu import native
     if native.available():
         d_lo, d_hi = native.corridor_sweep(points, normals, segments,
                                            d_default=d_default)
+        d_lo, d_hi = quantize_bands(d_lo, d_hi)
         return CorridorArrays(d_lo=jnp.asarray(d_lo, dtype),
                               d_hi=jnp.asarray(d_hi, dtype))
 
@@ -287,6 +313,7 @@ def compile_corridor(boundary: BoundaryArrays, ref_tables,
     t_neg = np.where(hit & (t < -1e-9), t, -np.inf)
     d_hi = np.minimum(t_pos.min(axis=1), d_default)
     d_lo = np.maximum(t_neg.max(axis=1), -d_default)
+    d_lo, d_hi = quantize_bands(d_lo, d_hi)
     return CorridorArrays(d_lo=jnp.asarray(d_lo, dtype),
                           d_hi=jnp.asarray(d_hi, dtype))
 

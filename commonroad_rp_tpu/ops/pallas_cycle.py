@@ -149,7 +149,7 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
     """Corridor-band gather on the VPU: (d_lo, d_hi) each [1, TILE] at the
     probe arclength's table row.  A broadcast-multiply-reduce against the
     [P, 1] band columns — exact (0/1 mask, single nonzero per column).
-    Reference construction for ``_probe_band_mxu`` (the kernel's fast form);
+    Reference construction for ``_probe_band_prefix`` (the kernel's fast form);
     kept for the conformance tests.  Probe arclengths are clamped into
     [0, ref_s_last], so ``_onehot_at``'s interval test always hits a row."""
     onehot = _onehot_at(s_chunk, s_col, jnp.float32)
@@ -158,30 +158,58 @@ def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
     return d_lo, d_hi
 
 
-def _probe_band_mxu(s_chunk, s_col, band_tab):
-    """Corridor-band gather on the MXU: (d_lo, d_hi) each [1, TILE].
+def _probe_band_prefix(s_chunk, s_col, band_tab):
+    """Corridor-band gather as an MXU prefix sum: (d_lo, d_hi) each [1, TILE].
 
-    ``band_tab`` is the [6, P] bf16 stack (split3 terms of d_lo in rows 0..2,
-    of d_hi in rows 3..5 — static row slices of the pair tables, see the
-    corridor block in ``_scoring_body``).  One small matmul per probe replaces
-    two [P, TILE] f32 multiply-reduces — the VPU probe loop was ~58% of the
-    whole kernel (measured on hardware, 2026-08-19).  Exact: the one-hot is
-    0/1 (exact in bf16), each product selects one split term with f32
-    accumulation, and the 3-term sum reconstructs the f32 band bit-for-bit
-    (same argument as ``_lookup_pair``), so results are identical to
-    ``_probe_band``."""
-    onehot = _onehot_at(s_chunk, s_col, jnp.bfloat16)
-    wide = jax.lax.dot_general(band_tab, onehot, (((1,), (0,)), ((), ())),
+    ``band_tab`` is the [6, P] bf16 stack of split3 terms of the band
+    PREFIX DIFFERENCES (``band_delta_tab``): rows 0..2 hold
+    delta_lo[p] = d_lo[p] - d_lo[p-1] (row 0: d_lo[0]), rows 3..5 delta_hi.
+    With the step function step[p] = (s_col[p] <= s) as the right operand,
+    dot(delta, step) telescopes to the band value at the containing row
+    idx = count(s_col <= s) - 1 — the exact value ``_probe_band`` gathers —
+    from ONE [P, TILE] compare instead of the interval one-hot's two
+    compares + AND (the probe one-hot builds were the kernel's largest cost,
+    measured 2026-08-19).
+
+    Exactness rests on the corridor band-value contract
+    (ops.collision.quantize_bands): every band is a multiple of 2**-10 m
+    with magnitude <= 32.  Then every difference, every bf16 split term
+    (truncation keeps multiples of 2**-10 at these magnitudes), and every
+    in-order partial sum along the contraction is a multiple of 2**-10 well
+    below 2**13 — exactly representable in f32, so the MXU accumulation
+    reproduces the gathered f32 band bit-for-bit (hardware-gated by
+    scripts/pallas_fleet_tpu_check.py parity vs the XLA gather path).
+    Padded/sentinel rows may violate the contract but their step entries are
+    always 0 (sentinel arclengths exceed any clamped probe), contributing an
+    exact 0 to every partial sum."""
+    step = (s_col <= s_chunk).astype(jnp.bfloat16)
+    wide = jax.lax.dot_general(band_tab, step, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [6, TILE]
     d_lo = (wide[0:1, :] + wide[1:2, :]) + wide[2:3, :]
     d_hi = (wide[3:4, :] + wide[4:5, :]) + wide[5:6, :]
     return d_lo, d_hi
 
 
+def band_delta_tab(d_lo_col, d_hi_col):
+    """[6, P] bf16 prefix-difference band table for ``_probe_band_prefix``.
+
+    Rows 0..2: split3 terms of delta(d_lo); rows 3..5: of delta(d_hi), where
+    delta(col) = [col[0], col[1]-col[0], ...].  Differences of
+    contract-quantized bands (multiples of 2**-10, |.| <= 32, see
+    ops.collision.quantize_bands) are exact in f32; sentinel-padded rows
+    need not satisfy the contract (their step entries are always 0).
+    """
+    delta = lambda col: jnp.concatenate([col[:1], col[1:] - col[:-1]])
+    band = jnp.stack([delta(d_lo_col), delta(d_hi_col)])        # [2, P]
+    b0, b1, b2 = split3_bf16(band)
+    return jnp.concatenate([b0[0:1], b1[0:1], b2[0:1],
+                            b0[1:2], b1[1:2], b2[1:2]], axis=0)  # [6, P]
+
+
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
-                    pair_t2_ref, obs_ref, poly_ref, cost_ref, kin_cost_ref,
-                    reason_ref,
+                    pair_t2_ref, band_ref, obs_ref, poly_ref, cost_ref,
+                    kin_cost_ref, reason_ref,
                     *, n_steps: int, n_obstacles: int, n_polys: int,
                     n_poly_verts: int, check_flags: tuple,
                     has_desired_s: bool = False):
@@ -190,7 +218,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
-        pair_t2_ref[:],
+        pair_t2_ref[:], band_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
@@ -200,8 +228,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
 
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
-                          pair_t1_ref, pair_t2_ref, obs_ref, poly_ref,
-                          cost_ref, kin_cost_ref, reason_ref,
+                          pair_t1_ref, pair_t2_ref, band_ref, obs_ref,
+                          poly_ref, cost_ref, kin_cost_ref, reason_ref,
                           *, n_steps: int, n_obstacles: int, n_polys: int,
                           n_poly_verts: int, check_flags: tuple,
                           has_desired_s: bool = False):
@@ -211,7 +239,7 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
         goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
-        pair_t2_ref[0],
+        pair_t2_ref[0], band_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
         lambda m, col: poly_ref[0, m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
@@ -220,9 +248,9 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
 
 
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
-                  goal_valid_row, table, pair_t0, pair_t1, pair_t2, obs_ref,
-                  obs_col, poly_col, *, n_steps: int, n_obstacles: int,
-                  n_polys: int, n_poly_verts: int,
+                  goal_valid_row, table, pair_t0, pair_t1, pair_t2, band_tab,
+                  obs_ref, obs_col, poly_col, *, n_steps: int,
+                  n_obstacles: int, n_polys: int, n_poly_verts: int,
                   check_flags: tuple, has_desired_s: bool):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
@@ -476,19 +504,13 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
-    # [6, P] bf16 band table: split3 terms of d_lo (pair rows 4) then d_hi
-    # (pair rows 5) — static sublane slices of the pair tables, so the MXU
-    # probe gather reconstructs the f32 bands bit-exactly (_probe_band_mxu)
-    band_tab = jnp.concatenate(
-        [pair_t0[4:5], pair_t1[4:5], pair_t2[4:5],
-         pair_t0[5:6], pair_t1[5:6], pair_t2[5:6]], axis=0)
     for offset in (-1.0, 0.0, 1.0):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
         for c in range(T):
-            band_lo, band_hi = _probe_band_mxu(s_probe[c:c + 1, :], s_col,
-                                               band_tab)
+            band_lo, band_hi = _probe_band_prefix(s_probe[c:c + 1, :], s_col,
+                                                  band_tab)
             row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
                          > band_hi) |
                         (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
@@ -680,6 +702,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
     pair_T = jnp.concatenate([table.T, table_next[:, :4].T], axis=0)  # [16, P]
     pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
+    band = band_delta_tab(table[:, 4], table[:, 5])                   # [6, P]
 
     grid = (K_pad // tile,)
     out = pl.pallas_call(
@@ -710,6 +733,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, P), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
@@ -722,7 +747,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, obs, poly)
+    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, band, obs,
+      poly)
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
@@ -825,6 +851,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         [jnp.swapaxes(tables, 1, 2),
          jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
     pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
+    band = jax.vmap(band_delta_tab)(tables[:, :, 4],
+                                    tables[:, :, 5])             # [F, 6, P]
 
     # polygon group: [F, Mp, T, 2V + 1] (pack with interleaved world vertex
     # coords + validity); dummy when the fleet has no polygon obstacles
@@ -864,6 +892,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 6, P), lambda f, i: (f, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max(M, 1), T, _OBS_COLS), lambda f, i: (f, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, max(Mp, 1), T, poly.shape[-1]),
@@ -877,7 +907,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, obs, poly)
+    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, band, obs,
+      poly)
     return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 

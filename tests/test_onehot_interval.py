@@ -12,7 +12,10 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from commonroad_rp_tpu.ops.pallas_cycle import _onehot_at, _probe_band
+from commonroad_rp_tpu.ops.collision import BAND_CLAMP, quantize_bands
+from commonroad_rp_tpu.ops.pallas_cycle import (_onehot_at, _probe_band,
+                                                _probe_band_prefix,
+                                                band_delta_tab)
 
 
 def _table_col(seed=0, n_real=37, n_pad=3):
@@ -65,6 +68,45 @@ def test_probe_band_gathers_band_rows():
                          jnp.asarray(s_col)[:, None],
                          jnp.asarray(d_lo)[:, None],
                          jnp.asarray(d_hi)[:, None])
+    idx = _count_idx(s_col, q)
+    np.testing.assert_array_equal(np.asarray(lo)[0], d_lo[idx])
+    np.testing.assert_array_equal(np.asarray(hi)[0], d_hi[idx])
+
+
+def test_quantize_bands_contract():
+    """Bands become multiples of 2**-10 in [-32, 32], only ever shrinking
+    the drivable band (floor on d_hi, ceil on d_lo)."""
+    rng = np.random.default_rng(4)
+    d_lo = np.concatenate([rng.uniform(-40.0, -0.5, 100), [-1e4, -1e9]])
+    d_hi = np.concatenate([rng.uniform(0.5, 40.0, 100), [1e4, 1e9]])
+    lo_q, hi_q = quantize_bands(d_lo, d_hi)
+    assert np.all(np.abs(lo_q) <= BAND_CLAMP)
+    assert np.all(np.abs(hi_q) <= BAND_CLAMP)
+    np.testing.assert_array_equal(lo_q * 1024.0, np.round(lo_q * 1024.0))
+    np.testing.assert_array_equal(hi_q * 1024.0, np.round(hi_q * 1024.0))
+    assert np.all(hi_q <= np.clip(d_hi, -BAND_CLAMP, BAND_CLAMP))   # shrink
+    assert np.all(lo_q >= np.clip(d_lo, -BAND_CLAMP, BAND_CLAMP))
+
+
+def test_probe_band_prefix_matches_direct_gather_on_quantized_bands():
+    """The prefix-difference MXU band gather reconstructs the direct f32
+    gather bit-for-bit on contract-quantized bands — the exactness argument
+    behind _probe_band_prefix (step function x split3 deltas telescopes to
+    the band at the containing row)."""
+    s_col, s_last = _table_col(seed=5)
+    P = s_col.shape[0]
+    rng = np.random.default_rng(6)
+    d_lo_raw = rng.uniform(-32.5, -0.01, P)
+    d_hi_raw = rng.uniform(0.01, 32.5, P)
+    d_lo, d_hi = quantize_bands(d_lo_raw, d_hi_raw)
+    d_lo = d_lo.astype(np.float32)
+    d_hi = d_hi.astype(np.float32)
+    q = np.concatenate([rng.uniform(0.0, s_last, 200),
+                        s_col[:-3], [0.0, s_last]]).astype(np.float32)
+
+    band_tab = band_delta_tab(jnp.asarray(d_lo), jnp.asarray(d_hi))
+    lo, hi = _probe_band_prefix(jnp.asarray(q)[None, :],
+                                jnp.asarray(s_col)[:, None], band_tab)
     idx = _count_idx(s_col, q)
     np.testing.assert_array_equal(np.asarray(lo)[0], d_lo[idx])
     np.testing.assert_array_equal(np.asarray(hi)[0], d_hi[idx])
