@@ -21,6 +21,11 @@ Packed reference-table columns (``pack_ref_tables``):
 from __future__ import annotations
 
 import functools
+import os
+
+# timing-ablation switch for scripts/scorer_variant_bench.py ONLY: skip named
+# kernel sections to locate the cycle-time budget (results are WRONG when set)
+_ABLATE = frozenset(os.environ.get("CRP_PALLAS_ABLATE", "").split(","))
 
 import jax
 import jax.numpy as jnp
@@ -120,29 +125,32 @@ def _onehot_at(s_chunk, s_col, dtype):
     return ((s_col <= s_chunk) & (s_next_col > s_chunk)).astype(dtype)
 
 
-def _lookup_pair(s_chunk, s_col, pair_t0, pair_t1, pair_t2):
+def _lookup_pair(s_chunk, s_col, pair_stack):
     """One-chunk table gather, strictly 2-D (Mosaic layout discipline).
 
     s_chunk: [1, TILE] query arclengths; s_col: [P, 1] table arclengths;
-    pair_t{0,1,2}: [16, P] exact bf16 split (``split3_bf16``) of the packed
-    lo-row table (12 cols) stacked with the hi-row interpolation columns
-    (s/θ/κ/κ', 4 cols).  Returns [16, TILE] float32 rows at
-    idx = count(s_vertex <= s) - 1; for s < 0 (``_onehot_at``'s all-zero
-    row) every column reads 0 — callers must domain-mask such candidates,
-    there is NO wrap-to-last here.  Rows 0..11 are the lo columns,
-    rows 12..15 the hi interpolation columns.
+    pair_stack: [48, P] — the three exact bf16 split terms (``split3_bf16``)
+    of the packed lo-row table (12 cols) stacked with the hi-row
+    interpolation columns (s/θ/κ/κ', 4 cols), concatenated along the row
+    axis (rows 0..15 term 0, 16..31 term 1, 32..47 term 2).  Returns
+    [16, TILE] float32 rows at idx = count(s_vertex <= s) - 1; for s < 0
+    (``_onehot_at``'s all-zero row) every column reads 0 — callers must
+    domain-mask such candidates, there is NO wrap-to-last here.  Rows 0..11
+    are the lo columns, rows 12..15 the hi interpolation columns.
 
-    Exact: the one-hot is 0/1 (exact in bf16), each bf16 dot selects one term
-    with f32 accumulation, and the 3-term sum reconstructs float32 exactly,
-    matching the XLA path's HIGHEST-precision one-hot gather bit-for-bit at
-    half the physical MXU passes (3 vs 6) and one matmul per step instead of
-    two (the 128-row MXU tile makes the extra 4 hi rows free).
+    Exact: the one-hot is 0/1 (exact in bf16), each bf16 dot row selects one
+    term with f32 accumulation, and the 3-term sum reconstructs float32
+    exactly, matching the XLA path's HIGHEST-precision one-hot gather
+    bit-for-bit.  The single [48, P] x [P, TILE] matmul computes the same
+    three [16, TILE] blocks as three separate dots (independent output rows)
+    at 3x the MXU row utilization, and the sum order (t0 + t1) + t2 is
+    preserved.
     """
     onehot = _onehot_at(s_chunk, s_col, jnp.bfloat16)
-    dot = lambda tab: jax.lax.dot_general(
-        tab, onehot, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return (dot(pair_t0) + dot(pair_t1)) + dot(pair_t2)
+    wide = jax.lax.dot_general(pair_stack, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [48, TILE]
+    return (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+        + wide[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
 
 
 def _probe_band(s_chunk, s_col, d_lo_col, d_hi_col):
@@ -207,9 +215,8 @@ def band_delta_tab(d_lo_col, d_hi_col):
 
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
-                    goal_valid_ref, table_ref, pair_t0_ref, pair_t1_ref,
-                    pair_t2_ref, band_ref, obs_ref, poly_ref, cost_ref,
-                    kin_cost_ref, reason_ref,
+                    goal_valid_ref, table_ref, pair_ref, band_ref, obs_ref,
+                    poly_ref, cost_ref, kin_cost_ref, reason_ref,
                     *, n_steps: int, n_obstacles: int, n_polys: int,
                     n_poly_verts: int, check_flags: tuple,
                     has_desired_s: bool = False):
@@ -217,8 +224,7 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
     cost_ref[:], kin_cost_ref[:], reason_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
-        goal_valid_ref[:], table_ref[:], pair_t0_ref[:], pair_t1_ref[:],
-        pair_t2_ref[:], band_ref[:],
+        goal_valid_ref[:], table_ref[:], pair_ref[:], band_ref[:],
         obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
@@ -227,8 +233,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
 
 
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
-                          traj_len_ref, goal_valid_ref, table_ref, pair_t0_ref,
-                          pair_t1_ref, pair_t2_ref, band_ref, obs_ref,
+                          traj_len_ref, goal_valid_ref, table_ref, pair_ref,
+                          band_ref, obs_ref,
                           poly_ref, cost_ref, kin_cost_ref, reason_ref,
                           *, n_steps: int, n_obstacles: int, n_polys: int,
                           n_poly_verts: int, check_flags: tuple,
@@ -238,8 +244,7 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
     cost_ref[0], kin_cost_ref[0], reason_ref[0] = _scoring_body(
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
-        goal_valid_ref[0], table_ref[0], pair_t0_ref[0], pair_t1_ref[0],
-        pair_t2_ref[0], band_ref[0],
+        goal_valid_ref[0], table_ref[0], pair_ref[0], band_ref[0],
         obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
         lambda m, col: poly_ref[0, m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
@@ -248,7 +253,7 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
 
 
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
-                  goal_valid_row, table, pair_t0, pair_t1, pair_t2, band_tab,
+                  goal_valid_row, table, pair_stack, band_tab,
                   obs_ref, obs_col, poly_col, *, n_steps: int,
                   n_obstacles: int, n_polys: int, n_poly_verts: int,
                   check_flags: tuple, has_desired_s: bool):
@@ -311,17 +316,23 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # per-step [16, TILE] views are lane-aligned static slices
     s_col = table[:, 0:1]                                   # [P, 1]
     TILE = s.shape[1]
+    if "gather" in _ABLATE:                                 # timing ablation
+        one = jnp.abs(s) * 1e-6 + 1.0
+        lo_s, lo_theta, lo_curv, lo_curv_d = s - 0.5, one * 0.01, one * 0.001, one * 0.001
+        hi_s, hi_theta, hi_curv, hi_curv_d = s + 0.5, one * 0.01, one * 0.001, one * 0.001
+        lo_px, lo_py, lo_tx, lo_ty, lo_nx, lo_ny = (one,) * 6
+    else:
+        lo_s = None
     lo_cols = [[] for _ in range(_NUM_COLS)]
     hi_cols = [[] for _ in range(4)]
-    for c0 in range(0, T, _GATHER_CHUNK):                   # static, small T
+    for c0 in ([] if lo_s is not None else range(0, T, _GATHER_CHUNK)):  # static, small T
         c1 = min(c0 + _GATHER_CHUNK, T)
         if c1 - c0 == 1:
             s_wide = s[c0:c0 + 1, :]
         else:
             s_wide = jnp.concatenate([s[c:c + 1, :] for c in range(c0, c1)],
                                      axis=1)                # [1, C*TILE]
-        wide = _lookup_pair(s_wide, s_col, pair_t0, pair_t1,
-                            pair_t2)                        # [16, C*TILE]
+        wide = _lookup_pair(s_wide, s_col, pair_stack)      # [16, C*TILE]
         for i in range(c1 - c0):
             vals = wide[:, i * TILE:(i + 1) * TILE]
             for col in range(_NUM_COLS):
@@ -329,11 +340,12 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
             for col in range(4):
                 hi_cols[col].append(
                     vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
-    cat = lambda rows: jnp.concatenate(rows, axis=0)        # [T, TILE]
-    lo_s, lo_theta, lo_curv, lo_curv_d = (cat(lo_cols[i]) for i in range(4))
-    hi_s, hi_theta, hi_curv, hi_curv_d = (cat(hi_cols[i]) for i in range(4))
-    lo_px, lo_py, lo_tx, lo_ty, lo_nx, lo_ny = (cat(lo_cols[i])
-                                                for i in range(6, 12))
+    if lo_s is None:
+        cat = lambda rows: jnp.concatenate(rows, axis=0)    # [T, TILE]
+        lo_s, lo_theta, lo_curv, lo_curv_d = (cat(lo_cols[i]) for i in range(4))
+        hi_s, hi_theta, hi_curv, hi_curv_d = (cat(hi_cols[i]) for i in range(4))
+        lo_px, lo_py, lo_tx, lo_ty, lo_nx, lo_ny = (cat(lo_cols[i])
+                                                    for i in range(6, 12))
 
     lam = (s - lo_s) / (hi_s - lo_s)
     two_pi = np.float32(2.0 * np.pi)
@@ -384,7 +396,8 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # reason semantics mirror ops.kinematics.rollout: flat priority index
     # step * 5 + constraint_rank, first (step, rank) violation wins; the
     # rank IS the reason code (REASON_VELOCITY..REASON_ACCELERATION = 0..4)
-    cv, ca_f, ck, ckd, cy = check_flags
+    cv, ca_f, ck, ckd, cy = ((False,) * 5 if "constraints" in _ABLATE
+                             else check_flags)
     first_row = step < 1.0
     big = jnp.float32(1e9)
     min_flat = jnp.full((1, TILE), big, jnp.float32)
@@ -504,7 +517,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
-    for offset in (-1.0, 0.0, 1.0):
+    for offset in (() if "probes" in _ABLATE else (-1.0, 0.0, 1.0)):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
@@ -522,7 +535,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     e_sin = jnp.sin(e_theta)
     ecx = ego_x + wb_rear * e_cos
     ecy = ego_y + wb_rear * e_sin
-    for m in range(n_obstacles):
+    for m in range(0 if "obb" in _ABLATE else n_obstacles):
         ox = obs_col(m, 0)
         oy = obs_col(m, 1)
         otheta = obs_col(m, 2)
@@ -701,7 +714,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     table = packed_table.astype(dtype)
     table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
     pair_T = jnp.concatenate([table.T, table_next[:, :4].T], axis=0)  # [16, P]
-    pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
+    pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=0)         # [48, P]
     band = band_delta_tab(table[:, 4], table[:, 5])                   # [6, P]
 
     grid = (K_pad // tile,)
@@ -727,11 +740,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_PAIR_ROWS, P), lambda i: (0, 0),
+            pl.BlockSpec((3 * _PAIR_ROWS, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((6, P), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -747,8 +756,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, tile), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, table, pair_t0, pair_t1, pair_t2, band, obs,
-      poly)
+    )(scalars, cl, ca, tl, gv, table, pair_stack, band, obs, poly)
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
@@ -850,7 +858,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     pair_T = jnp.concatenate(
         [jnp.swapaxes(tables, 1, 2),
          jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
-    pair_t0, pair_t1, pair_t2 = split3_bf16(pair_T)
+    pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=1)    # [F, 48, P]
     band = jax.vmap(band_delta_tab)(tables[:, :, 4],
                                     tables[:, :, 5])             # [F, 6, P]
 
@@ -886,11 +894,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, P, _NUM_COLS), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
+            pl.BlockSpec((1, 3 * _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 6, P), lambda f, i: (f, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -907,8 +911,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                    pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
                                 memory_space=pltpu.VMEM)),
         interpret=interpret,
-    )(scalars, cl, ca, tl, gv, tables, pair_t0, pair_t1, pair_t2, band, obs,
-      poly)
+    )(scalars, cl, ca, tl, gv, tables, pair_stack, band, obs, poly)
     return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 
