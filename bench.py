@@ -1,8 +1,22 @@
 """Benchmark: candidate-evaluations/sec of the fused planning-cycle kernel.
 
-Prints ONE JSON line:
+Prints a JSON result line:
   {"metric": "candidate_evals_per_sec", "value": N, "unit": "cand/s",
    "vs_baseline": R, ...}
+
+Robustness contract (the driver runs this under an unknown timeout):
+  * A global wall-clock budget bounds the whole run — BENCH_BUDGET_S env var
+    (default 540 s).  Every stage checks the remaining budget before starting
+    and is skipped (with a stderr note) if it cannot fit.
+  * The JSON result line is emitted INCREMENTALLY: as soon as the first real
+    device measurement lands, a full result line is printed; every subsequent
+    measurement re-prints an upgraded line.  The LAST line on stdout is the
+    most complete result, so a driver that kills the process mid-run still
+    captures everything measured up to that point.
+  * Expensive Pallas probes run in watchdog subprocesses with timeouts derived
+    from the remaining budget (a hung remote compile cannot stall the parent).
+  * Stages are ordered cheapest-compile-first so something is always banked
+    early; the headline fleet-scan probe runs immediately after.
 
 The reference publishes no benchmark numbers (BASELINE.md), so the baseline is
 measured here: the pure-numpy conformance oracle (baseline/oracle.py), which
@@ -25,11 +39,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+_START = time.time()
+
+
+def _mark(stage):
+    print(f"# t={time.time() - _START:.1f}s {stage}", file=sys.stderr)
+    sys.stderr.flush()
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None)
     parser.add_argument("--repeats", type=int, default=50)
+    parser.add_argument("--budget", type=float,
+                        default=float(os.environ.get("BENCH_BUDGET_S", 540.0)),
+                        help="global wall-clock budget in seconds; stages "
+                             "that cannot fit are skipped")
     parser.add_argument("--baseline-candidates", type=int, default=400,
                         help="oracle candidates to time (extrapolated)")
     parser.add_argument("--pallas-probe", action="store_true",
@@ -45,12 +70,15 @@ def main():
     parser.add_argument("--plan-scan-probe", action="store_true",
                         help="internal: measure ReactivePlanner.plan_scan "
                              "warm latency per planning cycle (ms)")
-    parser.add_argument("--pallas-timeout", type=float, default=900.0,
-                        help="seconds to allow the pallas-scorer probe "
-                             "(remote-compile latency is highly variable)")
     args = parser.parse_args()
 
+    deadline = _START + args.budget
+
+    def remaining():
+        return deadline - time.time()
+
     import jax
+    _mark("jax imported")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     backend_dir = args.platform or "default"
@@ -82,8 +110,11 @@ def main():
                                         "__graft_entry__.py"))
     graft = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(graft)
+    _mark("modules imported")
     problem = graft._build_problem(dtype, n_steps)
+    _mark("problem built")
     scene, carry = fleet_ops.build_fleet_scene([problem], n_steps, dtype=dtype)
+    _mark("scene built")
 
     veh_cfg = VehicleConfiguration()
     veh = kin_ops.VehicleArrays(
@@ -100,70 +131,7 @@ def main():
         d_min=-3.0, d_max=3.0, num_levels=4)
     K = static_grid.size
 
-    single = functools.partial(
-        fleet_ops._single_problem_cycle, veh=veh, static_grid=static_grid,
-        dt=dt, n_steps=n_steps, replan_offset=3, low_vel_threshold=4.0,
-        horizon=n_steps * dt)
-
-    @jax.jit
-    def cycle(carry, scene, velocity):
-        take = lambda tree: type(tree)(*[leaf[0] for leaf in tree])
-        return single(carry.x0_lon[0], carry.x0_lat[0], carry.orientation[0],
-                      velocity, carry.time_step[0], carry.alive[0],
-                      take(scene.ref), scene.obs_pose[0], scene.obs_half[0],
-                      scene.obs_valid[0], scene.obs_radius[0],
-                      scene.poly_verts[0], scene.poly_valid[0],
-                      scene.corridor_lo[0], scene.corridor_hi[0],
-                      scene.desired_speed[0])
-
-    probe_child = (args.pallas_probe or args.pallas_fleet_probe
-                   or args.pallas_t61_probe or args.plan_scan_probe)
-    if not probe_child:
-        # warm-up / compile
-        t0 = time.time()
-        out = cycle(carry, scene, carry.velocity[0])
-        jax.block_until_ready(out)
-        compile_time = time.time() - t0
-
-        # timed repeats (vary the velocity input so no result caching applies)
-        velocities = jnp.linspace(18.0, 22.0, args.repeats, dtype=dtype)
-        t0 = time.time()
-        for i in range(args.repeats):
-            out = cycle(carry, scene, velocities[i])
-        jax.block_until_ready(out)
-        device_time = (time.time() - t0) / args.repeats
-        device_evals_per_sec = K / device_time
-
-        # ---- fleet-amortized throughput (production configuration) --------
-        # F problems x C cycles in ONE device call (shard_map'd lax.scan):
-        # amortizes per-call dispatch, which dominates single-cycle latency
-        # on the tunneled chip.
-        from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
-
-        F = 16
-        n_cycles = 10
-        fleet_scene, fleet_carry = fleet_ops.build_fleet_scene(
-            [problem] * F, n_steps, dtype=dtype)
-        mesh = make_fleet_mesh()
-        fleet_run = fleet_ops.make_fleet_rollout(
-            mesh, veh, static_grid, dt, n_steps, replan_offset=3,
-            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=n_cycles)
-        out = fleet_run(fleet_carry, fleet_scene)          # warm-up/compile
-        jax.block_until_ready(out)
-        fleet_repeats = max(3, args.repeats // 10)
-        t0 = time.time()
-        for _ in range(fleet_repeats):
-            out = fleet_run(fleet_carry, fleet_scene)
-        jax.block_until_ready(out)
-        fleet_time = (time.time() - t0) / fleet_repeats
-        fleet_evals_per_sec = F * K * n_cycles / fleet_time
-
-    # ---- fused Pallas scorer (VMEM-resident full-cycle evaluation) ---------
-    # guarded: falls back gracefully if the backend rejects the kernel.
-    # The measurement runs in a watchdog subprocess so a pathologically slow
-    # remote compile cannot hang the whole benchmark (the driver depends on
-    # bench.py terminating); --pallas-probe is the in-process child mode.
-    pallas_evals_per_sec = None
+    # ---- probe-child modes (one measurement, one line, exit) ---------------
 
     def _measure_pallas():
         from commonroad_rp_tpu.ops import collision as collision_ops
@@ -309,6 +277,8 @@ def main():
         jax.block_until_ready(out)
         return Fp * K * n_cycles_p / ((time.time() - t_start) / reps)
 
+    probe_child = (args.pallas_probe or args.pallas_fleet_probe
+                   or args.pallas_t61_probe or args.plan_scan_probe)
     if probe_child:
         try:
             if args.pallas_probe:
@@ -325,33 +295,53 @@ def main():
                   f"{str(exc)[:120]}", file=sys.stderr)
         return
 
-    import subprocess
+    # ---- incremental result emission ---------------------------------------
+    result = {
+        "metric": "candidate_evals_per_sec",
+        "value": None,
+        "unit": "cand/s",
+        "vs_baseline": None,
+        "candidates_per_cycle": K,
+        "single_call_evals_per_sec": None,
+        "fleet_evals_per_sec": None,
+        "pallas_scorer_evals_per_sec": None,
+        "pallas_fleet_evals_per_sec": None,
+        "pallas_fleet_config": "128 problems x 10 cycles per call",
+        "pallas_t61_evals_per_sec": None,
+        "t61_config": "K=5202, horizon 6 s (default N=60 config)",
+        "plan_scan_cycle_ms": None,
+        "fleet_config": "16 problems x 10 cycles per call",
+        "cycle_latency_ms": None,
+        "fleet_cycle_latency_ms": None,
+        "realtime_budget_ms": 300.0,
+        "baseline_evals_per_sec": None,
+        "compile_time_s": None,
+        "backend": jax.default_backend(),
+        "budget_s": args.budget,
+    }
 
-    pallas_fleet_evals_per_sec = None
+    def emit():
+        throughputs = [result[k] for k in (
+            "single_call_evals_per_sec", "fleet_evals_per_sec",
+            "pallas_scorer_evals_per_sec", "pallas_fleet_evals_per_sec")
+            if result[k]]
+        if not throughputs:
+            return
+        result["value"] = round(max(throughputs), 1)
+        if result["baseline_evals_per_sec"]:
+            result["vs_baseline"] = round(
+                result["value"] / result["baseline_evals_per_sec"], 2)
+        result["elapsed_s"] = round(time.time() - _START, 1)
+        print(json.dumps(result))
+        sys.stdout.flush()
 
-    def _run_probe(flag, key):
-        cmd = [sys.executable, os.path.abspath(__file__), flag,
-               "--repeats", str(args.repeats)]
-        if args.platform:
-            cmd += ["--platform", args.platform]
-        try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=args.pallas_timeout)
-            for line in proc.stdout.splitlines():
-                if line.startswith(key + "="):
-                    return float(line.split("=", 1)[1])
-        except (subprocess.TimeoutExpired, ValueError) as exc:
-            print(f"# {flag} skipped: {type(exc).__name__}", file=sys.stderr)
-        return None
+    def skip(stage, why):
+        print(f"# {stage} skipped: {why} (remaining {remaining():.0f}s)",
+              file=sys.stderr)
+        sys.stderr.flush()
 
-    pallas_evals_per_sec = _run_probe("--pallas-probe", "PALLAS_EVALS_PER_SEC")
-    pallas_fleet_evals_per_sec = _run_probe("--pallas-fleet-probe",
-                                            "PALLAS_FLEET_EVALS_PER_SEC")
-    pallas_t61_evals_per_sec = _run_probe("--pallas-t61-probe",
-                                          "PALLAS_T61_EVALS_PER_SEC")
-    plan_scan_cycle_ms = _run_probe("--plan-scan-probe", "PLAN_SCAN_CYCLE_MS")
 
-    # ---- baseline: pure-numpy oracle (reference computational shape) -------
+    # ---- stage 0: CPU-oracle baseline (cheap, needed for vs_baseline) ------
     cfg = ReactivePlannerConfiguration()
     cfg.planning.time_steps_computation = n_steps
     cfg.sampling.t_min = 0.4
@@ -378,43 +368,117 @@ def main():
         v_delta_max=veh_cfg.v_delta_max, half_length=veh_cfg.length / 2,
         half_width=veh_cfg.width / 2)
     constraints = ["velocity", "acceleration", "kappa", "kappa_dot", "yaw_rate"]
+    _mark("baseline batch built")
     t0 = time.time()
     oracle.evaluate_batch(small, oref, oveh, float(problem["orientation"]),
                           dt, n_steps, False, constraints, w_a=5.0,
                           desired_d=0.0, desired_speed=20.0)
     baseline_time_per_cand = (time.time() - t0) / n_base
-    baseline_evals_per_sec = 1.0 / baseline_time_per_cand
+    result["baseline_evals_per_sec"] = round(1.0 / baseline_time_per_cand, 1)
+    _mark("baseline measured")
 
-    best = max(device_evals_per_sec, fleet_evals_per_sec,
-               pallas_evals_per_sec or 0.0,
-               pallas_fleet_evals_per_sec or 0.0)
-    result = {
-        "metric": "candidate_evals_per_sec",
-        "value": round(best, 1),
-        "unit": "cand/s",
-        "vs_baseline": round(best / baseline_evals_per_sec, 2),
-        "candidates_per_cycle": K,
-        "single_call_evals_per_sec": round(device_evals_per_sec, 1),
-        "fleet_evals_per_sec": round(fleet_evals_per_sec, 1),
-        "pallas_scorer_evals_per_sec": round(pallas_evals_per_sec, 1)
-        if pallas_evals_per_sec else None,
-        "pallas_fleet_evals_per_sec": round(pallas_fleet_evals_per_sec, 1)
-        if pallas_fleet_evals_per_sec else None,
-        "pallas_fleet_config": "128 problems x 10 cycles per call",
-        "pallas_t61_evals_per_sec": round(pallas_t61_evals_per_sec, 1)
-        if pallas_t61_evals_per_sec else None,
-        "t61_config": "K=5202, horizon 6 s (default N=60 config)",
-        "plan_scan_cycle_ms": round(plan_scan_cycle_ms, 3)
-        if plan_scan_cycle_ms else None,
-        "fleet_config": f"{F} problems x {n_cycles} cycles per call",
-        "cycle_latency_ms": round(device_time * 1e3, 3),
-        "fleet_cycle_latency_ms": round(fleet_time / n_cycles * 1e3, 3),
-        "realtime_budget_ms": 300.0,
-        "baseline_evals_per_sec": round(baseline_evals_per_sec, 1),
-        "compile_time_s": round(compile_time, 1),
-        "backend": jax.default_backend(),
-    }
-    print(json.dumps(result))
+    # ---- stage 1: single-cycle XLA program (fast compile, banks a value) ---
+    single = functools.partial(
+        fleet_ops._single_problem_cycle, veh=veh, static_grid=static_grid,
+        dt=dt, n_steps=n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * dt)
+
+    @jax.jit
+    def cycle(carry_, scene_, velocity):
+        take = lambda tree: type(tree)(*[leaf[0] for leaf in tree])
+        return single(carry_.x0_lon[0], carry_.x0_lat[0], carry_.orientation[0],
+                      velocity, carry_.time_step[0], carry_.alive[0],
+                      take(scene_.ref), scene_.obs_pose[0], scene_.obs_half[0],
+                      scene_.obs_valid[0], scene_.obs_radius[0],
+                      scene_.poly_verts[0], scene_.poly_valid[0],
+                      scene_.corridor_lo[0], scene_.corridor_hi[0],
+                      scene_.desired_speed[0])
+
+    t0 = time.time()
+    out = cycle(carry, scene, carry.velocity[0])
+    jax.block_until_ready(out)
+    result["compile_time_s"] = round(time.time() - t0, 1)
+    _mark("single-cycle compiled")
+
+    velocities = jnp.linspace(18.0, 22.0, args.repeats, dtype=dtype)
+    t0 = time.time()
+    for i in range(args.repeats):
+        out = cycle(carry, scene, velocities[i])
+    jax.block_until_ready(out)
+    device_time = (time.time() - t0) / args.repeats
+    result["single_call_evals_per_sec"] = round(K / device_time, 1)
+    result["cycle_latency_ms"] = round(device_time * 1e3, 3)
+    emit()
+
+    # ---- watchdog probes, headline first ------------------------------------
+    import subprocess
+
+    def _run_probe(flag, key, cap, min_useful=75.0):
+        budget_left = remaining() - 20.0          # reserve for final emit
+        if budget_left < min_useful:
+            skip(flag, "budget exhausted")
+            return None
+        probe_timeout = min(cap, budget_left)
+        cmd = [sys.executable, os.path.abspath(__file__), flag,
+               "--repeats", str(args.repeats)]
+        if args.platform:
+            cmd += ["--platform", args.platform]
+        try:
+            proc = subprocess.run(cmd, capture_output=True, text=True,
+                                  timeout=probe_timeout)
+            for line in proc.stdout.splitlines():
+                if line.startswith(key + "="):
+                    return float(line.split("=", 1)[1])
+            tail = (proc.stderr or "").strip().splitlines()
+            skip(flag, tail[-1][:160] if tail else "no output")
+        except (subprocess.TimeoutExpired, ValueError) as exc:
+            skip(flag, f"{type(exc).__name__} after {probe_timeout:.0f}s")
+        return None
+
+    # headline: fleet-batched pallas replanning scan
+    result["pallas_fleet_evals_per_sec"] = _run_probe(
+        "--pallas-fleet-probe", "PALLAS_FLEET_EVALS_PER_SEC", cap=300.0)
+    emit()
+    result["pallas_scorer_evals_per_sec"] = _run_probe(
+        "--pallas-probe", "PALLAS_EVALS_PER_SEC", cap=210.0)
+    emit()
+    result["pallas_t61_evals_per_sec"] = _run_probe(
+        "--pallas-t61-probe", "PALLAS_T61_EVALS_PER_SEC", cap=210.0)
+    emit()
+    result["plan_scan_cycle_ms"] = _run_probe(
+        "--plan-scan-probe", "PLAN_SCAN_CYCLE_MS", cap=210.0)
+
+    # ---- optional: XLA fleet scan (non-headline; only if budget remains) ---
+    if remaining() > 120.0:
+        try:
+            from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+
+            F = 16
+            n_cycles = 10
+            fleet_scene, fleet_carry = fleet_ops.build_fleet_scene(
+                [problem] * F, n_steps, dtype=dtype)
+            mesh = make_fleet_mesh()
+            fleet_run = fleet_ops.make_fleet_rollout(
+                mesh, veh, static_grid, dt, n_steps, replan_offset=3,
+                low_vel_threshold=4.0, horizon=n_steps * dt,
+                n_cycles=n_cycles)
+            out = fleet_run(fleet_carry, fleet_scene)
+            jax.block_until_ready(out)
+            fleet_repeats = max(3, args.repeats // 10)
+            t0 = time.time()
+            for _ in range(fleet_repeats):
+                out = fleet_run(fleet_carry, fleet_scene)
+            jax.block_until_ready(out)
+            fleet_time = (time.time() - t0) / fleet_repeats
+            result["fleet_evals_per_sec"] = round(F * K * n_cycles / fleet_time, 1)
+            result["fleet_cycle_latency_ms"] = round(
+                fleet_time / n_cycles * 1e3, 3)
+        except Exception as exc:                             # noqa: BLE001
+            skip("xla-fleet", f"{type(exc).__name__}: {str(exc)[:120]}")
+    else:
+        skip("xla-fleet", "budget exhausted")
+
+    emit()
 
 
 if __name__ == "__main__":

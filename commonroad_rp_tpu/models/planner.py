@@ -92,6 +92,16 @@ class ReactivePlanner:
         self.horizon: float = config.planning.dt * config.planning.time_steps_computation
 
         self.vehicle_params = config.vehicle
+
+        # backend-resolved defaults: a TPU backend ships the fast float32
+        # Pallas path out of the box; other backends default to the float64
+        # XLA conformance path (utils/config.py DebugConfiguration)
+        import jax as _jax
+        if config.debug.kernel_dtype == "auto":
+            config.debug.kernel_dtype = (
+                "float32" if _jax.default_backend() == "tpu" else "float64")
+        if config.debug.fast_scoring is None:
+            config.debug.fast_scoring = _jax.default_backend() == "tpu"
         self._dtype = jnp.float64 if config.debug.kernel_dtype == "float64" \
             else jnp.float32
 
@@ -538,14 +548,15 @@ class ReactivePlanner:
         the per-dispatch RTT over all cycles (sub-ms per planning cycle vs
         tens of ms for per-cycle ``plan()`` calls).
 
-        Scope: the fast-path scope (velocity-keeping mode, float32 kernels,
-        corridor/no boundary, default cost with a speed target) and
-        ``planning.factor == 1``.  Raises ValueError outside it.  Standstill
-        STARTS work (low-velocity mode runs on device — ZAM-Ramp pinned in
-        tests), but the standstill FALLBACK (reactive_planner.py:638-653,
-        engaged only when no candidate is feasible at v ~ 0) is host logic
-        the scan does not apply: a fully blocked standstill scene freezes
-        the carry instead; drive such cycles with ``plan()``.
+        Scope: the fast-path scope (float32 kernels, corridor/no boundary,
+        default cost) and ``planning.factor == 1``; both longitudinal modes
+        are supported (stopping mode requires ``set_desired_lon_position``
+        first).  Raises ValueError outside the scope.  Standstill STARTS
+        work (low-velocity mode runs on device — ZAM-Ramp pinned in tests),
+        and the standstill FALLBACK (reactive_planner.py:638-653, :667-713)
+        runs ON DEVICE as a ``where``-branch: a blocked scene at v ~ 0
+        plans the host's exact standstill trajectory each cycle instead of
+        freezing the carry.
 
         Returns a dict with ``goal_reached``, ``cycles_run``, ``steps``,
         per-cycle ``found``/``best_cost``/rejection counters; with
@@ -570,12 +581,23 @@ class ReactivePlanner:
                              "(debug.fast_scoring, float32 kernels, "
                              "corridor/none boundary, "
                              "default cost with speed target)")
-        if self.config.sampling.longitudinal_mode != "velocity_keeping":
-            raise ValueError("plan_scan supports velocity-keeping mode")
+        longitudinal_mode = self.config.sampling.longitudinal_mode
+        if longitudinal_mode not in ("velocity_keeping", "stopping"):
+            raise ValueError(f"plan_scan: unknown longitudinal mode "
+                             f"{longitudinal_mode!r}")
+        stopping = longitudinal_mode == "stopping"
+        if stopping and self._desired_lon_position is None:
+            raise ValueError("stopping mode: call set_desired_lon_position() "
+                             "before plan_scan")
         if self.config.planning.factor != 1:
             raise ValueError("plan_scan supports planning.factor == 1")
         if self._desired_speed is None:
             raise ValueError("call set_desired_velocity() before plan_scan")
+        desired_s = float(self._desired_lon_position) if stopping else None
+        s_window = None
+        if stopping:
+            samples_s = self.sampling_space.samples_s
+            s_window = (float(samples_s.low), float(samples_s.up))
 
         cs = self.config.sampling
         grids = tuple(
@@ -597,10 +619,12 @@ class ReactivePlanner:
         # the key holds the CoordinateSystem object itself (identity
         # compare + a strong ref): an id() key could alias a NEW object
         # allocated at a freed one's address
+        lookahead = min(self._standstill_lookahead, self.N)
         cache_key = (n_cycles, freq, self.N, span, self._co,
                      float(self._desired_speed),
                      float(getattr(cf, "w_a", 5.0)),
-                     float(getattr(cf, "desired_d", 0.0)), ctx["flags"])
+                     float(getattr(cf, "desired_d", 0.0)), ctx["flags"],
+                     longitudinal_mode, desired_s, s_window, lookahead)
         cached = getattr(self, "_plan_scan_cache", None)
         if cached is not None and cached[0] == cache_key:
             run = cached[1]
@@ -611,17 +635,24 @@ class ReactivePlanner:
                 self.config.planning.low_vel_mode_threshold, self.horizon,
                 float(self._desired_speed), float(getattr(cf, "w_a", 5.0)),
                 float(getattr(cf, "desired_d", 0.0)), ctx["flags"], n_cycles,
-                interpret=_jax.default_backend() != "tpu")
+                interpret=_jax.default_backend() != "tpu",
+                longitudinal_mode=longitudinal_mode, desired_s=desired_s,
+                s_window=s_window, standstill_lookahead=lookahead)
             self._plan_scan_cache = (cache_key, run)
 
         x0_lon, x0_lat = self.x_0_cl
+        kappa_0 = np.tan(self.x_0.steering_angle) / \
+            self.vehicle_params.wheelbase
         carry = pallas_fleet.FacadeScanCarry(
             x0_lon=jnp.asarray(np.asarray(x0_lon), jnp.float32),
             x0_lat=jnp.asarray(np.asarray(x0_lat), jnp.float32),
             orientation=jnp.asarray(self.x_0.orientation, jnp.float32),
             velocity=jnp.asarray(self.x_0.velocity, jnp.float32),
             time_step=jnp.asarray(self.x_0.time_step, jnp.int32),
-            alive=jnp.asarray(True))
+            alive=jnp.asarray(True),
+            kappa=jnp.asarray(kappa_0, jnp.float32),
+            px=jnp.asarray(self.x_0.position[0], jnp.float32),
+            py=jnp.asarray(self.x_0.position[1], jnp.float32))
 
         t0 = time.time()
         final_carry, metrics = run(carry)

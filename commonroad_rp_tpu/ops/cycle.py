@@ -54,6 +54,7 @@ class LevelResult(NamedTuple):
 
     found: jnp.ndarray            # scalar bool: any feasible & collision-free
     scalars: jnp.ndarray          # [4] f: best_idx, best_cost, n_inf_kin, n_coll
+                                  #     (FastLevelResult.scalars differs: [6])
     masks: jnp.ndarray            # [3, K] int32: feasible, collides, reason
     costs: jnp.ndarray            # [K] costs (all candidates)
     optimal: jnp.ndarray          # [14, T] best candidate (CANDIDATE_FIELDS order)

@@ -21,11 +21,12 @@ Packed reference-table columns (``pack_ref_tables``):
 from __future__ import annotations
 
 import functools
-import os
 
-# timing-ablation switch for scripts/scorer_variant_bench.py ONLY: skip named
-# kernel sections to locate the cycle-time budget (results are WRONG when set)
-_ABLATE = frozenset(os.environ.get("CRP_PALLAS_ABLATE", "").split(","))
+# Timing-ablation sections for kernel profiling scripts ONLY.  Always empty
+# on the production import path (no env hook); an instrumented bench must
+# assign ``pallas_cycle._ABLATE = {...}`` explicitly before tracing — results
+# are WRONG while any section is ablated.
+_ABLATE: frozenset = frozenset()
 
 import jax
 import jax.numpy as jnp

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops import grid as grid_ops
 from commonroad_rp_tpu.ops import kinematics as kin_ops
 from commonroad_rp_tpu.ops import pallas_cycle
@@ -271,7 +272,8 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         metrics = (step_alive, jnp.where(step_alive, best_cost, jnp.inf),
                    pick(rollout.x), pick(rollout.y),
                    n_success, cost_sum / n_found,
-                   n_kin_infeasible, n_colliding)
+                   n_kin_infeasible, n_colliding,
+                   pick(rollout.theta_gl), pick(rollout.v))
         return new_carry, metrics
 
     def local_scan(carry, scene, packed, ref_s_last, veh_stack):
@@ -295,7 +297,8 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             veh=kin_ops.VehicleArrays(*([f] * 8)))
         metrics_spec = (P(None, FLEET_AXIS), P(None, FLEET_AXIS),
                         P(None, FLEET_AXIS), P(None, FLEET_AXIS), P(None),
-                        P(None), P(None, FLEET_AXIS), P(None, FLEET_AXIS))
+                        P(None), P(None, FLEET_AXIS), P(None, FLEET_AXIS),
+                        P(None, FLEET_AXIS), P(None, FLEET_AXIS))
         sharded = shard_map(
             local_scan, mesh=mesh,
             in_specs=(carry_spec, scene_spec, f, f, f),
@@ -315,7 +318,12 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
 
 class FacadeScanCarry(NamedTuple):
     """Carry of the facade replanning scan (mirror of the planner's
-    per-cycle state: curvilinear x0, pose, liveness)."""
+    per-cycle state: curvilinear x0, pose, liveness).
+
+    ``kappa``/``px``/``py`` carry the current curvature (tan(steering)/L)
+    and Cartesian rear-axle position so the device-side standstill fallback
+    (reactive_planner.py:667-713) can emit the host's exact trajectory
+    arrays without a round-trip."""
 
     x0_lon: jnp.ndarray          # [3]
     x0_lat: jnp.ndarray          # [3]
@@ -323,6 +331,9 @@ class FacadeScanCarry(NamedTuple):
     velocity: jnp.ndarray        # scalar
     time_step: jnp.ndarray       # scalar int32
     alive: jnp.ndarray           # scalar bool
+    kappa: jnp.ndarray           # scalar: current curvature tan(delta)/L
+    px: jnp.ndarray              # scalar: cartesian x (rear axle)
+    py: jnp.ndarray              # scalar: cartesian y (rear axle)
 
 
 def make_facade_replanning_scan(ref: RefPathTables,
@@ -335,7 +346,11 @@ def make_facade_replanning_scan(ref: RefPathTables,
                                 desired_speed: float,
                                 w_a: float, desired_d: float,
                                 constraint_flags: tuple, n_cycles: int,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                longitudinal_mode: str = "velocity_keeping",
+                                desired_s: float | None = None,
+                                s_window: tuple | None = None,
+                                standstill_lookahead: int = 10):
     """Device-resident facade loop: ``n_cycles`` of fused level-escalated
     planning cycles in ONE dispatch (``ReactivePlanner.plan_scan``).
 
@@ -352,6 +367,22 @@ def make_facade_replanning_scan(ref: RefPathTables,
     masking the appended current-offset sample ``goal_valid=False`` whenever
     it duplicates a base grid value; ordering differences against the host
     bundle only matter on exact cost ties (doc/conformance.md divergence 1).
+
+    Longitudinal modes (reference sampling.py:253-266):
+      * ``velocity_keeping`` — quartic lon toward a velocity window derived
+        from the carried speed each cycle (set_desired_velocity semantics).
+      * ``stopping`` — quintic lon toward stop positions sampled from the
+        static ``s_window`` (absolute arclengths, set_desired_lon_position
+        semantics); ``desired_s`` adds the stopping cost term and
+        goal-behind candidates are masked (filter_goals_behind,
+        trajectories.py:545-550).
+
+    Standstill fallback ON DEVICE (reactive_planner.py:638-653, :667-713):
+    when the carried velocity is <= 0.05 and either no candidate survived or
+    the winner's speed at ``standstill_lookahead`` is <= 0.05, the cycle
+    emits the host's exact standstill arrays (position/orientation frozen,
+    v = 0, a[1] = -v0/dt, kappa from the carried steering curvature, cost 0)
+    as a ``where``-branch and the scan continues instead of freezing.
 
     Returns ``run(carry) -> (carry, metrics)`` with metrics =
     (found [C], best_cost [C], n_inf_kin [C], n_coll [C],
@@ -393,6 +424,10 @@ def make_facade_replanning_scan(ref: RefPathTables,
     veh32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), veh)
     ref32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), ref)
 
+    stopping = longitudinal_mode == "stopping"
+    if stopping and (desired_s is None or s_window is None):
+        raise ValueError("stopping mode requires desired_s and s_window")
+
     def cycle(carry: FacadeScanCarry, _):
         v_min = jnp.maximum(0.0, carry.velocity
                             - 0.125 * horizon * veh32.a_max)
@@ -401,10 +436,17 @@ def make_facade_replanning_scan(ref: RefPathTables,
 
         cls, cas, tls, gvs = [], [], [], []
         for g, app in zip(static_grids, appended):
-            cl, ca, tl = grid_ops.velocity_keeping_candidates(
-                carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
+            if stopping:
+                cl, ca, tl, gv_goal = grid_ops.stopping_candidates(
+                    carry.x0_lon, carry.x0_lat,
+                    jnp.asarray(s_window[0], dtype),
+                    jnp.asarray(s_window[1], dtype), low_vel, g)
+            else:
+                cl, ca, tl = grid_ops.velocity_keeping_candidates(
+                    carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
+                gv_goal = True
             dup = jnp.any(jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
-            gvs.append(~(jnp.asarray(app) & dup))
+            gvs.append(~(jnp.asarray(app) & dup) & gv_goal)
             cls.append(cl)
             cas.append(ca)
             tls.append(tl)
@@ -440,7 +482,9 @@ def make_facade_replanning_scan(ref: RefPathTables,
             cl, ca, tl, gv, packed, obstacles, veh32, carry.orientation,
             dtype(dt), low_vel, jnp.asarray(desired_speed, dtype),
             jnp.asarray(desired_d, dtype), jnp.asarray(w_a, dtype),
-            ref_s_last, n_steps=n_steps, check_flags=constraint_flags,
+            ref_s_last,
+            desired_s=None if not stopping else jnp.asarray(desired_s, dtype),
+            n_steps=n_steps, check_flags=constraint_flags,
             interpret=interpret)
 
         (found, best_idx, best_cost, _stat_level, n_inf_kin,
@@ -458,6 +502,33 @@ def make_facade_replanning_scan(ref: RefPathTables,
         states = jnp.stack([getattr(rollout, f)[0, :r + 1]
                             for f in CANDIDATE_FIELDS])     # [14, r+1]
 
+        # device-side standstill fallback (reactive_planner.py:638-653):
+        # engaged at v ~ 0 when nothing was found OR the winner stays slow
+        # at the lookahead step — replaces the winner with the host's exact
+        # standstill arrays (:667-713) at cost 0
+        lookahead_v = rollout.v[0, standstill_lookahead]
+        standstill = ((carry.velocity <= 0.05)
+                      & (~found | (lookahead_v <= 0.05)))
+        fill = lambda v: jnp.full((r + 1,), v, dtype)
+        s0 = carry.x0_lon[0]
+        idx0 = frenet_ops.interp_index(ref32, s0[None])
+        theta_ref = frenet_ops.interpolate_angle_at(ref32, s0[None], idx0)[0]
+        a_row = jnp.zeros((r + 1,), dtype).at[1].set(-carry.velocity / dt)
+        ss_states = jnp.stack([
+            fill(s0), fill(carry.x0_lon[1]), fill(carry.x0_lon[2]),
+            fill(carry.x0_lat[0]), fill(carry.x0_lat[1]),
+            fill(carry.x0_lat[2]),
+            fill(carry.orientation - theta_ref),          # theta_cl
+            fill(carry.px), fill(carry.py),
+            fill(carry.orientation),
+            jnp.zeros((r + 1,), dtype),                   # v = 0
+            a_row,
+            fill(carry.kappa),
+            jnp.zeros((r + 1,), dtype)])                  # kappa_dot = 0
+        states = jnp.where(standstill, ss_states, states)
+        best_cost = jnp.where(standstill, dtype(0.0), best_cost)
+        found = found | standstill
+
         step_alive = carry.alive & found
         keep = lambda new, old: jnp.where(step_alive, new, old)
         new_carry = FacadeScanCarry(
@@ -467,7 +538,10 @@ def make_facade_replanning_scan(ref: RefPathTables,
             velocity=keep(states[10, r], carry.velocity),
             time_step=jnp.where(step_alive, carry.time_step + r,
                                 carry.time_step),
-            alive=step_alive)
+            alive=step_alive,
+            kappa=keep(states[12, r], carry.kappa),
+            px=keep(states[7, r], carry.px),
+            py=keep(states[8, r], carry.py))
         metrics = (step_alive, best_cost, n_inf_kin, n_coll, states)
         return new_carry, metrics
 

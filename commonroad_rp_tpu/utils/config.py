@@ -99,17 +99,22 @@ class DebugConfiguration:
     logging_level: str = "INFO"
     multiproc: bool = True
     num_workers: int = 6
-    # TPU-build extension: dtype of the device planning kernels
-    kernel_dtype: str = "float64"
+    # TPU-build extension: dtype of the device planning kernels.  "auto"
+    # resolves at planner construction: float32 on a TPU backend (the fast
+    # production path), float64 elsewhere (bit-level conformance with the
+    # float64 reference).  Set explicitly to pin either mode.
+    kernel_dtype: str = "auto"
     # TPU-build extension: score candidates with the fused VMEM Pallas kernel
     # (ops.pallas_cycle) instead of the XLA conformance program.  Rejection
-    # counters stay exact; the per-constraint reason dict is lost — the same
-    # trade the reference makes in multiprocessing mode, where worker-side
-    # reason statistics silently vanish (reactive_planner.py:962-967).
-    # Falls back to the XLA path outside the kernel's scope (float32,
-    # default cost with speed target, corridor/no boundary, discrete
-    # collision, no trajectory-set capture).
-    fast_scoring: bool = False
+    # counters AND the per-constraint reason dict stay exact (the kernel
+    # emits first-failure reason codes) — better than the reference, which
+    # silently loses worker-side statistics in multiprocessing mode
+    # (reactive_planner.py:962-967).  Falls back to the XLA path outside the
+    # kernel's scope (float32, default cost with speed target, corridor/no
+    # boundary, discrete collision, no trajectory-set capture).  None
+    # resolves at planner construction: True on a TPU backend, False
+    # elsewhere.
+    fast_scoring: Optional[bool] = None
 
 
 @dataclass

@@ -1,11 +1,18 @@
-"""Fleet-scale throughput demo: many planning problems, one device program.
+"""Fleet-scale demo: 1000+ heterogeneous planning problems, one device program.
 
-Measures problem-cycles/sec and candidate-evals/sec for a large fleet
-(`--fleet-size` copies of the bundled scenarios) running the full replanning
-scan in a single jit call.  The production deployment shape (SURVEY.md
-section 2.3: scenario-axis data parallelism).
+Builds a heterogeneous fleet from all four bundled scenarios (ZAM_Over,
+DEU_Test, ZAM_Tjunction, ZAM-Ramp) x three vehicle types x per-problem
+jitter (initial speed/lateral offset, desired speed), runs the full
+replanning scan in a single jit call, and reports candidate-evals/sec plus
+per-problem goal-reached counts per scenario — the production deployment
+shape (SURVEY.md section 2.3: scenario-axis data parallelism;
+BASELINE.json configs[4] "1000s of scenarios").
 
-    python scripts/fleet_scale_demo.py [--fleet-size 128] [--cycles 20]
+    python scripts/fleet_scale_demo.py --pallas --fleet-size 1024 \
+        --cycles 150 --freq 1
+
+``--freq 1`` replans every scenario step so the recorded per-cycle winner
+states land on every time step and the host-side goal check is exact.
 """
 
 from __future__ import annotations
@@ -18,14 +25,26 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+SCENARIOS = ["ZAM_Over-1_1", "DEU_Test-1_1_T-1", "ZAM_Tjunction-1_42_T-1",
+             "ZAM-Ramp-1_1-T-1"]
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--platform", default=None)
     parser.add_argument("--fleet-size", type=int, default=128)
     parser.add_argument("--cycles", type=int, default=20)
+    parser.add_argument("--freq", type=int, default=3,
+                        help="replanning frequency (steps per cycle)")
     parser.add_argument("--level", type=int, default=3)
     parser.add_argument("--repeats", type=int, default=5)
+    parser.add_argument("--jitter", action="store_true",
+                        help="per-problem heterogeneity: vehicle types, "
+                             "initial-speed scale, lateral offset, "
+                             "desired-speed scale")
+    parser.add_argument("--goal-check", action="store_true",
+                        help="evaluate per-problem goal-reached from the "
+                             "recorded winner states (host side)")
     parser.add_argument("--pallas", action="store_true",
                         help="use the fused Pallas fleet scoring kernel "
                              "(parallel.pallas_fleet.make_pallas_fleet_scan)")
@@ -34,6 +53,11 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache",
+                          args.platform or "default"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -49,17 +73,41 @@ def main():
     n_steps, dt = 20, 0.1
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    base_problems = []
-    for name in ["ZAM_Over-1_1", "DEU_Test-1_1_T-1", "ZAM-Ramp-1_1-T-1"]:
+    vehicle_ids = (1, 2, 3) if args.jitter else (2,)
+    base_problems = []          # (problem dict, scenario idx)
+    goals = []                  # (goal region, wb_rear_axle) per base problem
+    for name in SCENARIOS:
         scenario, pp, _ = load_scenario_and_planning_problem(
             os.path.join(root, "example_scenarios", f"{name}.xml"))
         route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
-        base_problems.append(fleet_ops.problem_from_planner_setup(
-            scenario, pp, route.reference_path, n_steps=n_steps,
-            horizon_pad=args.cycles * 3 + 10, dtype=dtype))
+        for vid in vehicle_ids:
+            veh_cfg = VehicleConfiguration(id_type_vehicle=vid)
+            base_problems.append((fleet_ops.problem_from_planner_setup(
+                scenario, pp, route.reference_path, n_steps=n_steps,
+                horizon_pad=args.cycles * args.freq + 10, dtype=dtype,
+                vehicle=veh_cfg), len(goals)))
+            goals.append((pp.goal, veh_cfg.wb_rear_axle))
 
-    problems = [base_problems[i % len(base_problems)]
-                for i in range(args.fleet_size)]
+    rng = np.random.default_rng(0)
+    problems = []
+    base_idx = []
+    for i in range(args.fleet_size):
+        base, gidx = base_problems[i % len(base_problems)]
+        p = dict(base)
+        if args.jitter:
+            v_scale = float(rng.uniform(0.92, 1.08))
+            d_off = float(rng.uniform(-0.25, 0.25))
+            p["velocity"] = float(base["velocity"]) * v_scale
+            x0_lon = np.asarray(base["x0_lon"], np.float64).copy()
+            x0_lon[1] *= v_scale
+            p["x0_lon"] = x0_lon
+            x0_lat = np.asarray(base["x0_lat"], np.float64).copy()
+            x0_lat[0] += d_off
+            p["x0_lat"] = x0_lat
+            p["desired_speed"] = float(base["desired_speed"]) * \
+                float(rng.uniform(0.95, 1.05))
+        problems.append(p)
+        base_idx.append(gidx)
     scene, carry = fleet_ops.build_fleet_scene(problems, n_steps, dtype=dtype)
 
     veh_cfg = VehicleConfiguration()
@@ -74,14 +122,15 @@ def main():
     if args.pallas:
         from commonroad_rp_tpu.parallel import pallas_fleet
         run_scan = pallas_fleet.make_pallas_fleet_scan(
-            scene, static_grid, dt, n_steps, replan_offset=3,
+            scene, static_grid, dt, n_steps, replan_offset=args.freq,
             low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=args.cycles,
             interpret=jax.default_backend() == "cpu")
         run = lambda c, _s: run_scan(c)
     else:
         run = fleet_ops.make_fleet_rollout(
-            make_fleet_mesh(), veh, static_grid, dt, n_steps, replan_offset=3,
-            low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=args.cycles)
+            make_fleet_mesh(), veh, static_grid, dt, n_steps,
+            replan_offset=args.freq, low_vel_threshold=4.0,
+            horizon=n_steps * dt, n_cycles=args.cycles)
 
     t0 = time.time()
     out = run(carry, scene)
@@ -98,9 +147,11 @@ def main():
     success = (np.asarray(metrics[4]) if args.pallas
                else np.asarray(metrics.fleet_success))
     problem_cycles = args.fleet_size * args.cycles
-    print(json.dumps({
+    result = {
         "fleet_size": args.fleet_size,
         "cycles": args.cycles,
+        "replan_freq": args.freq,
+        "jitter": args.jitter,
         "candidates_per_cycle": K,
         "wall_s_per_scan": round(elapsed, 4),
         "problem_cycles_per_sec": round(problem_cycles / elapsed, 1),
@@ -111,7 +162,36 @@ def main():
         "compile_s": round(compile_s, 1),
         "backend": jax.default_backend(),
         "path": "pallas" if args.pallas else "xla",
-    }))
+    }
+
+    if args.goal_check and args.pallas:
+        from commonroad_rp_tpu.models.state import ReactivePlannerState
+
+        alive = np.asarray(metrics[0])                       # [C, F]
+        xs, ys = np.asarray(metrics[2]), np.asarray(metrics[3])
+        thetas, vs = np.asarray(metrics[8]), np.asarray(metrics[9])
+        per_scenario = {name: [0, 0] for name in SCENARIOS}  # [reached, total]
+        for f in range(args.fleet_size):
+            goal, wb_rear = goals[base_idx[f]]
+            name = SCENARIOS[base_idx[f] // len(vehicle_ids)]
+            per_scenario[name][1] += 1
+            for c in range(args.cycles):
+                if not alive[c, f]:
+                    break
+                state = ReactivePlannerState(
+                    time_step=(c + 1) * args.freq,
+                    position=np.array([xs[c, f], ys[c, f]]),
+                    orientation=float(thetas[c, f]),
+                    velocity=float(vs[c, f]), acceleration=0.0, yaw_rate=0.0,
+                    steering_angle=0.0)
+                if goal.is_reached(state.shift_positions_to_center(wb_rear)):
+                    per_scenario[name][0] += 1
+                    break
+        result["goal_reached"] = {
+            name: f"{reached}/{total}"
+            for name, (reached, total) in per_scenario.items()}
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -78,7 +78,11 @@ def main():
         orientation=jnp.asarray(p.x_0.orientation, jnp.float32),
         velocity=jnp.asarray(p.x_0.velocity, jnp.float32),
         time_step=jnp.asarray(p.x_0.time_step, jnp.int32),
-        alive=jnp.asarray(True))
+        alive=jnp.asarray(True),
+        kappa=jnp.asarray(np.tan(p.x_0.steering_angle) /
+                          p.vehicle_params.wheelbase, jnp.float32),
+        px=jnp.asarray(p.x_0.position[0], jnp.float32),
+        py=jnp.asarray(p.x_0.position[1], jnp.float32))
     _jax.block_until_ready(run(carry))
     times = []
     for _ in range(5):

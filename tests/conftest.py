@@ -24,6 +24,37 @@ import pytest  # noqa: E402
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 SCENARIO_DIR = REPO_ROOT / "example_scenarios"
 
+# ---- fast/slow split -------------------------------------------------------
+# `pytest -m fast` is the <2-minute core subset (closed-form conformance,
+# collision kernels, golden first-cycle selection on all 4 scenarios, one
+# end-to-end drive); everything else is marked slow.  The full suite exceeds
+# 10 minutes on a 2-core host, which a time-budgeted CI would misreport as a
+# failure on a green tree.
+_FAST_MODULES = {
+    "test_polynomial.py",
+    "test_geometry.py",
+    "test_kinematics_conformance.py",
+    "test_collision.py",
+    "test_onehot_interval.py",
+    "test_scenario_io.py",
+    "test_native.py",
+    "test_precision_and_golden.py",
+    "test_fleet_comm_volume.py",
+}
+_FAST_TESTS = {
+    ("test_planner_e2e.py", "test_over_reaches_goal"),      # one e2e drive
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = pathlib.Path(str(item.fspath)).name
+        name = item.name.split("[")[0]
+        if mod in _FAST_MODULES or (mod, name) in _FAST_TESTS:
+            item.add_marker(pytest.mark.fast)
+        else:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture(scope="session")
 def scenario_dir() -> pathlib.Path:
