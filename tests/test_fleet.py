@@ -133,11 +133,10 @@ def test_mixed_scenario_fleet(repo_root):
     jax.block_until_ready(final_carry)
 
     found = np.asarray(metrics.found)          # [cycles, F]
-    # the three moving-start scenarios plan successfully from cycle one;
-    # the ramp scenario starts at standstill (v=0 has no feasible
-    # velocity-keeping candidate with all-zero targets — facade handles it
-    # via the standstill fallback, which the minimal fleet body omits)
-    assert found[0, 0] and found[0, 1]
+    # all four scenarios plan successfully from cycle one — including the
+    # ramp's standstill start (v=0: the velocity window spans [0, 5] and
+    # low-velocity mode parameterizes the lateral by arclength)
+    assert found[0].all(), found[0]
     # fleet aggregate equals the per-problem sum on every cycle
     np.testing.assert_array_equal(np.asarray(metrics.fleet_success),
                                   found.sum(axis=1))
