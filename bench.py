@@ -205,9 +205,10 @@ def main():
             carry61.x0_lon[0], carry61.x0_lat[0], jnp.asarray(18.0, dtype),
             jnp.asarray(25.0, dtype), jnp.asarray(False), grid61)
         goal_valid1 = jnp.ones(K61, dtype=bool)
-        # 50 launches per dispatch: amortizes the tunnel RTT out of the
-        # per-launch number (a 15-20 ms round trip would otherwise dominate)
-        n_scan = 50
+        # 150 launches per dispatch: amortizes the tunnel RTT out of the
+        # per-launch number (a 15-35 ms round trip would otherwise dominate;
+        # production device-resident paths pay no per-launch RTT at all)
+        n_scan = 150
 
         def body(v, _):
             costs, _, _ = pallas_cycle._score_candidates_pallas(

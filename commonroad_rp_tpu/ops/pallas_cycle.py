@@ -38,8 +38,10 @@ from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
 from commonroad_rp_tpu.ops.kinematics import VehicleArrays, _EPS
 
-_TILE_K = 128   # hardware sweep 2026-08-19: 128 beats 256/512 by 13-25%
-                # (smaller VMEM working set pipelines better across the grid)
+_TILE_K = 128   # short-horizon default. Hardware sweeps 2026-08-19: at T=21
+                # 128 beats 256/512 by 13-25% (smaller VMEM working set
+                # pipelines better across the grid); at T=61 256 beats 128
+                # by ~5-18% — the scorers switch to 256 for T > 32.
 # steps per gather matmul. Values > 1 would batch C steps' queries into one
 # [16, P] x [P, C*TILE] MXU op (C-fold fewer invocations, interpret-mode
 # exact), but Mosaic cannot lower the lane-axis query concat as of this
@@ -48,13 +50,20 @@ _TILE_K = 128   # hardware sweep 2026-08-19: 128 beats 256/512 by 13-25%
 _GATHER_CHUNK = 1
 _LANE = 128
 _NUM_COLS = 12
+# dynamic-gather window rows for the single-problem scorer: candidates only
+# reach a bounded arclength range per cycle, so long reference paths are
+# sliced to this many contiguous rows (all per-step table work inside the
+# kernel is row-count-proportional); exactness is preserved by the lax.cond
+# full-table fallback in _score_candidates_pallas
+_WINDOW_ROWS = 256
 _OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
 
 # scalar-parameter slots (SMEM row)
-_NUM_SCALARS = 16
+_NUM_SCALARS = 17
 (_S_WHEELBASE, _S_WB_REAR, _S_A_MAX, _S_V_SWITCH, _S_KAPPA_MAX,
  _S_V_DELTA_MAX, _S_HALF_LEN, _S_HALF_WID, _S_X0_THETA, _S_DT, _S_LOW_VEL,
- _S_DESIRED_V, _S_DESIRED_D, _S_W_A, _S_REF_S_LAST, _S_DESIRED_S) = range(_NUM_SCALARS)
+ _S_DESIRED_V, _S_DESIRED_D, _S_W_A, _S_REF_S_LAST, _S_DESIRED_S,
+ _S_TABLE_S0) = range(_NUM_SCALARS)
 
 
 def pack_ref_tables(ref: frenet_ops.RefPathTables,
@@ -317,6 +326,16 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # per-step [16, TILE] views are lane-aligned static slices
     s_col = table[:, 0:1]                                   # [P, 1]
     TILE = s.shape[1]
+    # lookup queries only: inactive steps carry s = 0, which falls BELOW a
+    # dynamic window's first row and would gather all-zero rows (lam = 0/0
+    # NaN poisons the take_last sums of short-but-feasible candidates).
+    # Clamp those queries to the table's first arclength (SMEM scalar
+    # _S_TABLE_S0 — a VMEM [1,1] read would need an unimplemented
+    # sublane+lane broadcast on Mosaic) — on the full table that value IS 0,
+    # so full-table gathers are bit-unchanged; the gathered values at
+    # inactive steps are overwritten by the enlarge extension / masked by
+    # `active` on every consumer either way.
+    s_lookup = jnp.where(active, s, scal(_S_TABLE_S0))
     if "gather" in _ABLATE:                                 # timing ablation
         one = jnp.abs(s) * 1e-6 + 1.0
         lo_s, lo_theta, lo_curv, lo_curv_d = s - 0.5, one * 0.01, one * 0.001, one * 0.001
@@ -329,9 +348,10 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     for c0 in ([] if lo_s is not None else range(0, T, _GATHER_CHUNK)):  # static, small T
         c1 = min(c0 + _GATHER_CHUNK, T)
         if c1 - c0 == 1:
-            s_wide = s[c0:c0 + 1, :]
+            s_wide = s_lookup[c0:c0 + 1, :]
         else:
-            s_wide = jnp.concatenate([s[c:c + 1, :] for c in range(c0, c1)],
+            s_wide = jnp.concatenate([s_lookup[c:c + 1, :]
+                                      for c in range(c0, c1)],
                                      axis=1)                # [1, C*TILE]
         wide = _lookup_pair(s_wide, s_col, pair_stack)      # [16, C*TILE]
         for i in range(c1 - c0):
@@ -660,7 +680,9 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     T = n_steps + 1
     P = packed_table.shape[0]
     M = obstacles.pose.shape[0]
-    tile = tile_k or _TILE_K
+    # tile heuristic (hardware sweeps): 128 at short horizons, 256 at the
+    # default 6 s horizon (T=61: 10.56M vs 10.01M cand/s, bitwise equal)
+    tile = tile_k or (_TILE_K if T <= 32 else 256)
     if ref_s_last is None:
         # fall back: largest non-sentinel arclength (sentinels are >= 1e7
         # beyond the true end, see pack_ref_tables)
@@ -713,51 +735,103 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 
     table = packed_table.astype(dtype)
-    table_next = jnp.concatenate([table[1:], table[:1]], axis=0)
-    pair_T = jnp.concatenate([table.T, table_next[:, :4].T], axis=0)  # [16, P]
-    pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=0)         # [48, P]
-    band = band_delta_tab(table[:, 4], table[:, 5])                   # [6, P]
 
-    grid = (K_pad // tile,)
-    out = pl.pallas_call(
-        functools.partial(_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
-                          check_flags=check_flags,
-                          has_desired_s=desired_s is not None),
-        out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
-                   jax.ShapeDtypeStruct((1, K_pad), dtype),
-                   jax.ShapeDtypeStruct((1, K_pad), dtype)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((6, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * _PAIR_ROWS, P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((6, P), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((1, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, tile), lambda i: (0, i),
-                                memory_space=pltpu.VMEM)),
-        interpret=interpret,
-    )(scalars, cl, ca, tl, gv, table, pair_stack, band, obs, poly)
+    def call_kernel(tab):
+        """pallas_call over a (possibly windowed) [Pw, 12] table."""
+        Pw = tab.shape[0]
+        scal_tab = scalars.at[0, _S_TABLE_S0].set(tab[0, 0])
+        tab_next = jnp.concatenate([tab[1:], tab[:1]], axis=0)
+        pair_T = jnp.concatenate([tab.T, tab_next[:, :4].T], axis=0)  # [16, Pw]
+        pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=0)     # [48, Pw]
+        band = band_delta_tab(tab[:, 4], tab[:, 5])                   # [6, Pw]
+        grid = (K_pad // tile,)
+        return pl.pallas_call(
+            functools.partial(_scoring_kernel, n_steps=n_steps,
+                              n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
+                              check_flags=check_flags,
+                              has_desired_s=desired_s is not None),
+            out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((1, K_pad), dtype)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((6, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Pw, _NUM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * _PAIR_ROWS, Pw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, Pw), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(scal_tab, cl, ca, tl, gv, tab, pair_stack, band, obs, poly)
+
+    if P <= _WINDOW_ROWS:
+        out = call_kernel(table)
+    else:
+        # ---- dynamic table window (exactness-preserving) ----------------
+        # Every per-step table query (gather + the three corridor probes)
+        # is P-proportional work inside the kernel; candidates only touch
+        # the arclength range their rollouts reach, so slice a fixed
+        # _WINDOW_ROWS-row window around it (bounds from a cheap dense XLA
+        # eval of the longitudinal polynomials, incl. the constant-velocity
+        # enlarge extension and the probe extent margin) and fall back to
+        # the full table via lax.cond when the window cannot cover the
+        # span.  Window rows are contiguous original rows, so the interval
+        # one-hot, the pair interpolation, and the band prefix telescoping
+        # are bit-identical to the full-table gathers; window_ok excludes
+        # the window's final row so its wrapped "next row" is never read.
+        c = coeffs_lon.astype(dtype)                           # [K, 6]
+        tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, :]
+        s_all = (((((c[:, 5:6] * tq + c[:, 4:5]) * tq + c[:, 3:4]) * tq
+                   + c[:, 2:3]) * tq + c[:, 1:2]) * tq + c[:, 0:1])
+        lens = traj_len.astype(jnp.int32)
+        act = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
+        s_act_min = jnp.min(jnp.where(act, s_all, jnp.inf))
+        s_act_max = jnp.max(jnp.where(act, s_all, -jnp.inf))
+        tau_last = (lens - 1).astype(dtype) * dtype(dt)        # [K]
+        sl = ((((c[:, 5] * tau_last + c[:, 4]) * tau_last + c[:, 3])
+               * tau_last + c[:, 2]) * tau_last + c[:, 1]) * tau_last + c[:, 0]
+        sd = (((5.0 * c[:, 5] * tau_last + 4.0 * c[:, 4]) * tau_last
+               + 3.0 * c[:, 3]) * tau_last + 2.0 * c[:, 2]) * tau_last + c[:, 1]
+        t_ext = (T - lens).astype(dtype) * dtype(dt)
+        s_ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0))
+        s_ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0))
+        margin = (jnp.asarray(veh.wb_rear_axle, dtype)
+                  + jnp.asarray(veh.half_length, dtype)
+                  + jnp.asarray(veh.half_width, dtype) + dtype(1.0))
+        qmin = jnp.minimum(s_act_min, s_ext_lo) - margin
+        qmax = jnp.maximum(s_act_max, s_ext_hi) + margin
+
+        s_col_full = table[:, 0]
+        i0 = jnp.clip(jnp.sum(s_col_full <= qmin).astype(jnp.int32) - 1,
+                      0, P - _WINDOW_ROWS)
+        s_top = jax.lax.dynamic_slice_in_dim(
+            s_col_full, i0 + _WINDOW_ROWS - 1, 1)[0]
+        window_ok = qmax < s_top
+        window = jax.lax.dynamic_slice_in_dim(table, i0, _WINDOW_ROWS, axis=0)
+        out = jax.lax.cond(window_ok,
+                           lambda: call_kernel(window),
+                           lambda: call_kernel(table))
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
@@ -815,7 +889,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     P = packed_tables.shape[1]
     M = obs_pose.shape[1]
 
-    tile = tile_k or _TILE_K
+    tile = tile_k or (_TILE_K if T <= 32 else 256)
     K_pad = ((K + tile - 1) // tile) * tile
     pad = K_pad - K
     cl = jnp.pad(jnp.swapaxes(coeffs_lon, 1, 2).astype(dtype),
@@ -855,13 +929,6 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         scalars = scalars.at[:, 0, slot].set(jnp.asarray(value, dtype))
 
     tables = packed_tables.astype(dtype)                         # [F, P, 12]
-    tables_next = jnp.concatenate([tables[:, 1:], tables[:, :1]], axis=1)
-    pair_T = jnp.concatenate(
-        [jnp.swapaxes(tables, 1, 2),
-         jnp.swapaxes(tables_next[:, :, :4], 1, 2)], axis=1)     # [F, 16, P]
-    pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=1)    # [F, 48, P]
-    band = jax.vmap(band_delta_tab)(tables[:, :, 4],
-                                    tables[:, :, 5])             # [F, 6, P]
 
     # polygon group: [F, Mp, T, 2V + 1] (pack with interleaved world vertex
     # coords + validity); dummy when the fleet has no polygon obstacles
@@ -872,47 +939,103 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         Mp = poly_table.shape[1]
         Vp = (poly_table.shape[-1] - 1) // 2
     poly = poly_table.astype(dtype)
-    grid = (F, K_pad // tile)
-    out = pl.pallas_call(
-        functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
-                          n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
-                          check_flags=check_flags,
-                          has_desired_s=has_desired_s),
-        out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
-                   jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
-                   jax.ShapeDtypeStruct((F, 1, K_pad), dtype)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, _NUM_SCALARS), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, _NUM_COLS), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * _PAIR_ROWS, P), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 6, P), lambda f, i: (f, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max(M, 1), T, _OBS_COLS), lambda f, i: (f, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, max(Mp, 1), T, poly.shape[-1]),
-                         lambda f, i: (f, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
-                                memory_space=pltpu.VMEM)),
-        interpret=interpret,
-    )(scalars, cl, ca, tl, gv, tables, pair_stack, band, obs, poly)
+
+    def call_kernel(tabs):
+        """pallas_call over (possibly windowed) [F, Pw, 12] tables."""
+        Pw = tabs.shape[1]
+        scal_tab = scalars.at[:, 0, _S_TABLE_S0].set(tabs[:, 0, 0])
+        tabs_next = jnp.concatenate([tabs[:, 1:], tabs[:, :1]], axis=1)
+        pair_T = jnp.concatenate(
+            [jnp.swapaxes(tabs, 1, 2),
+             jnp.swapaxes(tabs_next[:, :, :4], 1, 2)], axis=1)   # [F, 16, Pw]
+        pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=1)
+        band = jax.vmap(band_delta_tab)(tabs[:, :, 4], tabs[:, :, 5])
+        grid = (F, K_pad // tile)
+        return pl.pallas_call(
+            functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
+                              n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
+                              check_flags=check_flags,
+                              has_desired_s=has_desired_s),
+            out_shape=(jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((F, 1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((F, 1, K_pad), dtype)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, _NUM_SCALARS), lambda f, i: (f, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 6, tile), lambda f, i: (f, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Pw, _NUM_COLS), lambda f, i: (f, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * _PAIR_ROWS, Pw), lambda f, i: (f, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 6, Pw), lambda f, i: (f, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, max(M, 1), T, _OBS_COLS),
+                             lambda f, i: (f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, max(Mp, 1), T, poly.shape[-1]),
+                             lambda f, i: (f, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, 1, tile), lambda f, i: (f, 0, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(scal_tab, cl, ca, tl, gv, tabs, pair_stack, band, obs, poly)
+
+    if P <= _WINDOW_ROWS:
+        out = call_kernel(tables)
+    else:
+        # per-problem dynamic table windows (see _score_candidates_pallas;
+        # bounds from a dense XLA eval of the lon polynomials, lax.cond
+        # full-table fallback keeps exactness when any problem's span
+        # cannot fit _WINDOW_ROWS contiguous rows)
+        c = coeffs_lon.astype(dtype)                         # [F, K, 6]
+        tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, None, :]
+        s_all = (((((c[..., 5:6] * tq + c[..., 4:5]) * tq + c[..., 3:4]) * tq
+                   + c[..., 2:3]) * tq + c[..., 1:2]) * tq + c[..., 0:1])
+        lens = traj_len.astype(jnp.int32)                    # [F, K]
+        act = jnp.arange(T, dtype=jnp.int32)[None, None, :] < lens[..., None]
+        s_min_f = jnp.min(jnp.where(act, s_all, jnp.inf), axis=(1, 2))
+        s_max_f = jnp.max(jnp.where(act, s_all, -jnp.inf), axis=(1, 2))
+        tau_last = (lens - 1).astype(dtype) * dtype(dt)      # [F, K]
+        sl = ((((c[..., 5] * tau_last + c[..., 4]) * tau_last + c[..., 3])
+               * tau_last + c[..., 2]) * tau_last + c[..., 1]) * tau_last \
+            + c[..., 0]
+        sd = (((5.0 * c[..., 5] * tau_last + 4.0 * c[..., 4]) * tau_last
+               + 3.0 * c[..., 3]) * tau_last + 2.0 * c[..., 2]) * tau_last \
+            + c[..., 1]
+        t_ext = (T - lens).astype(dtype) * dtype(dt)
+        ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0), axis=1)
+        ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0), axis=1)
+        margin = (veh_stack[:, 1] + veh_stack[:, 6] + veh_stack[:, 7]
+                  + dtype(1.0))                              # [F]
+        qmin = jnp.minimum(s_min_f, ext_lo) - margin
+        qmax = jnp.maximum(s_max_f, ext_hi) + margin
+
+        s_cols = tables[:, :, 0]                             # [F, P]
+        i0 = jnp.clip(jnp.sum(s_cols <= qmin[:, None],
+                              axis=1).astype(jnp.int32) - 1,
+                      0, P - _WINDOW_ROWS)
+        s_top = jnp.take_along_axis(
+            s_cols, (i0 + _WINDOW_ROWS - 1)[:, None], axis=1)[:, 0]
+        window_ok = jnp.all(qmax < s_top)
+        windows = jax.vmap(
+            lambda t, i: jax.lax.dynamic_slice_in_dim(
+                t, i, _WINDOW_ROWS, axis=0))(tables, i0)
+        out = jax.lax.cond(window_ok,
+                           lambda: call_kernel(windows),
+                           lambda: call_kernel(tables))
     return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 

@@ -245,3 +245,34 @@ def test_fleet_scoring_matches_per_problem():
         np.testing.assert_allclose(got[f][fin], want[f][fin],
                                    rtol=1e-6, atol=1e-6,
                                    err_msg=f"problem {f} costs")
+
+
+def test_windowed_gathers_match_full_table(monkeypatch):
+    """The dynamic table window (_WINDOW_ROWS slice around the candidates'
+    arclength span) must be BIT-IDENTICAL to the full-table gathers — the
+    deep-start setup (x0_s = 40 on a 400-row path) makes the window start
+    past row 0, which also exercises the inactive-step query clamp
+    (_S_TABLE_S0): a zero query below the window would gather all-zero rows
+    and NaN-poison short candidates' take_last sums."""
+    cfg = _setup(level=2)
+    packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
+    assert packed.shape[0] > pallas_cycle._WINDOW_ROWS  # window path active
+
+    def run():
+        masked, kin, reasons = pallas_cycle.score_candidates_pallas(
+            cfg["cl"], cfg["ca"], cfg["tl"],
+            jnp.ones(cfg["cl"].shape[0], dtype=bool), packed,
+            cfg["obstacles"], cfg["veh"], cfg["x0_theta"], cfg["dt"],
+            cfg["low_vel"], cfg["desired_v"], jnp.float32(0.0),
+            jnp.float32(5.0), n_steps=cfg["n_steps"], interpret=True)
+        return [np.asarray(x) for x in (masked, kin, reasons)]
+
+    windowed = run()
+    monkeypatch.setattr(pallas_cycle, "_WINDOW_ROWS", 10 ** 9)  # force full
+    full = run()
+    for name, a, b in zip(("masked", "kin", "reason"), windowed, full):
+        assert np.array_equal(a, b, equal_nan=True), name
+    # short candidates exist and are finitely scored (the NaN regression)
+    assert (np.asarray(cfg["tl"]) < cfg["n_steps"] + 1).any()
+    assert np.isfinite(windowed[0]).any()
+    assert not np.isnan(windowed[0]).any()

@@ -106,11 +106,11 @@ print("plot saved to output/tutorial_final_trajectory.png")
 
 # %% 7. Fast scoring (optional) ---------------------------------------------
 # Score candidates with the fused VMEM Pallas kernel instead of the XLA
-# conformance program: same selected trajectory, exact rejection counters;
-# the per-constraint reason dict is unavailable on this path (the
-# reference's multiprocessing mode loses it the same way). On TPU the
-# scoring itself runs sub-millisecond; on CPU the kernel executes in
-# (slower) interpret mode.
+# conformance program: same selected trajectory, exact rejection counters
+# and per-constraint reason dict. On a TPU backend this is already the
+# DEFAULT (kernel_dtype "auto" resolves to float32 + fast_scoring on); the
+# explicit settings below force it on CPU too, where the kernel executes
+# in (slower) interpret mode.
 config.debug.fast_scoring = True
 config.debug.kernel_dtype = "float32"
 fast_planner = ReactivePlanner(config)
