@@ -13,10 +13,15 @@ Robustness contract (the driver runs this under an unknown timeout):
     measurement re-prints an upgraded line.  The LAST line on stdout is the
     most complete result, so a driver that kills the process mid-run still
     captures everything measured up to that point.
-  * Expensive Pallas probes run in watchdog subprocesses with timeouts derived
-    from the remaining budget (a hung remote compile cannot stall the parent).
+  * All measurements run IN-PROCESS.  The tunneled backend's device attach
+    costs 15 s on a good day and several MINUTES on a bad one, and it is
+    paid per process — watchdog subprocesses (the round-2 design) spent
+    whole probe timeouts attaching and returned nothing (BENCH_r02 rc 124).
+    One attach, sequential stages, budget checks between them; a truly hung
+    stage loses only the stages after it, never the lines already printed.
   * Stages are ordered cheapest-compile-first so something is always banked
-    early; the headline fleet-scan probe runs immediately after.
+    early; the headline fleet-scan probe runs immediately after.  The
+    persistent compile cache (.jax_cache/) makes warm reruns fast.
 
 The reference publishes no benchmark numbers (BASELINE.md), so the baseline is
 measured here: the pure-numpy conformance oracle (baseline/oracle.py), which
@@ -411,43 +416,33 @@ def main():
     result["cycle_latency_ms"] = round(device_time * 1e3, 3)
     emit()
 
-    # ---- watchdog probes, headline first ------------------------------------
-    import subprocess
-
-    def _run_probe(flag, key, cap, min_useful=75.0):
-        budget_left = remaining() - 20.0          # reserve for final emit
-        if budget_left < min_useful:
-            skip(flag, "budget exhausted")
+    # ---- in-process probes, headline first ----------------------------------
+    # (one device attach for the whole run; see module docstring)
+    def _run_probe(fn, name, min_useful=45.0):
+        if remaining() - 20.0 < min_useful:       # reserve for final emit
+            skip(name, "budget exhausted")
             return None
-        probe_timeout = min(cap, budget_left)
-        cmd = [sys.executable, os.path.abspath(__file__), flag,
-               "--repeats", str(args.repeats)]
-        if args.platform:
-            cmd += ["--platform", args.platform]
+        t_probe = time.time()
         try:
-            proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=probe_timeout)
-            for line in proc.stdout.splitlines():
-                if line.startswith(key + "="):
-                    return float(line.split("=", 1)[1])
-            tail = (proc.stderr or "").strip().splitlines()
-            skip(flag, tail[-1][:160] if tail else "no output")
-        except (subprocess.TimeoutExpired, ValueError) as exc:
-            skip(flag, f"{type(exc).__name__} after {probe_timeout:.0f}s")
-        return None
+            value = round(fn(), 3)
+            _mark(f"{name} done in {time.time() - t_probe:.0f}s")
+            return value
+        except Exception as exc:                             # noqa: BLE001
+            skip(name, f"{type(exc).__name__}: {str(exc)[:140]}")
+            return None
 
     # headline: fleet-batched pallas replanning scan
     result["pallas_fleet_evals_per_sec"] = _run_probe(
-        "--pallas-fleet-probe", "PALLAS_FLEET_EVALS_PER_SEC", cap=300.0)
+        _measure_pallas_fleet, "pallas-fleet")
     emit()
     result["pallas_scorer_evals_per_sec"] = _run_probe(
-        "--pallas-probe", "PALLAS_EVALS_PER_SEC", cap=210.0)
+        _measure_pallas, "pallas-scorer")
     emit()
     result["pallas_t61_evals_per_sec"] = _run_probe(
-        "--pallas-t61-probe", "PALLAS_T61_EVALS_PER_SEC", cap=210.0)
+        _measure_pallas_t61, "pallas-t61")
     emit()
     result["plan_scan_cycle_ms"] = _run_probe(
-        "--plan-scan-probe", "PLAN_SCAN_CYCLE_MS", cap=210.0)
+        _measure_plan_scan, "plan-scan")
 
     # ---- optional: XLA fleet scan (non-headline; only if budget remains) ---
     if remaining() > 120.0:
