@@ -51,7 +51,12 @@ class FleetScene(NamedTuple):
 
 
 class FleetCarry(NamedTuple):
-    """Scan carry: per-problem planner state between cycles."""
+    """Scan carry: per-problem planner state between cycles.
+
+    ``kappa``/``px``/``py`` (curvature tan(delta)/L and Cartesian rear-axle
+    position) feed the pallas fleet scan's device-side standstill fallback
+    (reactive_planner.py:638-653); the XLA fleet path carries them through
+    unchanged."""
 
     x0_lon: jnp.ndarray                    # [F, 3] (s, s_dot, s_ddot)
     x0_lat: jnp.ndarray                    # [F, 3] (d, d_dot, d_ddot)
@@ -59,6 +64,9 @@ class FleetCarry(NamedTuple):
     velocity: jnp.ndarray                  # [F]
     time_step: jnp.ndarray                 # [F] int32
     alive: jnp.ndarray                     # [F] bool (False once planning fails)
+    kappa: jnp.ndarray                     # [F] current curvature tan(delta)/L
+    px: jnp.ndarray                        # [F] cartesian x (rear axle)
+    py: jnp.ndarray                        # [F] cartesian y (rear axle)
 
 
 class CycleMetrics(NamedTuple):
@@ -184,7 +192,10 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
             scene.poly_verts, scene.poly_valid, scene.corridor_lo,
             scene.corridor_hi, scene.desired_speed,
             veh if veh is not None else scene.veh)
-        new_carry = FleetCarry(*out_carry)
+        # kappa/px/py are consumed only by the pallas scan's standstill
+        # fallback; the minimal XLA body carries them through unchanged
+        new_carry = FleetCarry(*out_carry, kappa=carry.kappa,
+                               px=carry.px, py=carry.py)
         # fleet-level aggregates: ICI collectives across the mesh
         n_success = jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS)
         finite = jnp.isfinite(best_cost)
@@ -198,7 +209,7 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
 
     sharded = shard_map(
         local_step, mesh=mesh,
-        in_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
+        in_specs=(FleetCarry(*([P(FLEET_AXIS)] * 9)),
                   FleetScene(ref=frenet_ops.RefPathTables(
                       *([P(FLEET_AXIS)] * 8)),
                       obs_pose=P(FLEET_AXIS), obs_half=P(FLEET_AXIS),
@@ -208,7 +219,7 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                       corridor_hi=P(FLEET_AXIS),
                       desired_speed=P(FLEET_AXIS),
                       veh=kin_ops.VehicleArrays(*([P(FLEET_AXIS)] * 8)))),
-        out_specs=(FleetCarry(*([P(FLEET_AXIS)] * 6)),
+        out_specs=(FleetCarry(*([P(FLEET_AXIS)] * 9)),
                    CycleMetrics(found=P(FLEET_AXIS), best_cost=P(FLEET_AXIS),
                                 x=P(FLEET_AXIS), y=P(FLEET_AXIS),
                                 fleet_success=P(), fleet_mean_cost=P())),
@@ -260,7 +271,8 @@ def pad_fleet(scene: FleetScene, carry: FleetCarry,
         orientation=rep(carry.orientation), velocity=rep(carry.velocity),
         time_step=rep(carry.time_step),
         alive=jnp.concatenate([carry.alive,
-                               jnp.zeros(pad, dtype=bool)]))
+                               jnp.zeros(pad, dtype=bool)]),
+        kappa=rep(carry.kappa), px=rep(carry.px), py=rep(carry.py))
     return scene_p, carry_p, F
 
 
@@ -389,7 +401,10 @@ def build_fleet_scene(problems: List[dict], n_steps: int,
         velocity=jnp.asarray([p["velocity"] for p in problems], dtype),
         time_step=jnp.asarray([p.get("time_step", 0) for p in problems],
                               jnp.int32),
-        alive=jnp.ones(F, dtype=bool))
+        alive=jnp.ones(F, dtype=bool),
+        kappa=jnp.asarray([p.get("kappa", 0.0) for p in problems], dtype),
+        px=jnp.asarray([p.get("px", 0.0) for p in problems], dtype),
+        py=jnp.asarray([p.get("py", 0.0) for p in problems], dtype))
     return scene, carry
 
 
@@ -432,4 +447,7 @@ def problem_from_planner_setup(scenario, planning_problem, reference_path,
                 corridor=corridor, vehicle=veh_cfg,
                 x0_lon=x0_lon, x0_lat=x0_lat, orientation=x_0.orientation,
                 velocity=x_0.velocity, time_step=0,
-                desired_speed=retrieve_desired_velocity_from_pp(planning_problem))
+                desired_speed=retrieve_desired_velocity_from_pp(planning_problem),
+                kappa=float(np.tan(x_0.steering_angle or 0.0)
+                            / veh_cfg.wheelbase),
+                px=float(x_0.position[0]), py=float(x_0.position[1]))

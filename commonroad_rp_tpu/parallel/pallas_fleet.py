@@ -134,7 +134,10 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                            dt: float, n_steps: int, replan_offset: int,
                            low_vel_threshold: float, horizon: float,
                            n_cycles: int, interpret: bool = False,
-                           mesh=None):
+                           mesh=None,
+                           longitudinal_mode: str = "velocity_keeping",
+                           desired_s=None, s_window=None, w_a: float = 5.0,
+                           standstill_lookahead: int = 10):
     """Fleet replanning scan on the fused Pallas scorer (one chip, F problems).
 
     Takes a :class:`parallel.fleet.FleetScene` (stacked per-problem tables)
@@ -150,6 +153,14 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
     the whole scan runs under ``shard_map`` over the fleet axis: each chip
     launches the fused kernel for its F/n_devices problems and the per-cycle
     fleet aggregates (success count, mean cost) ride ICI ``psum``.
+
+    ``longitudinal_mode='stopping'`` samples quintic stop trajectories
+    toward per-problem ``s_window`` [F, 2] absolute windows with the
+    ``desired_s`` [F] stopping cost (``w_a`` should then be 1.0 —
+    reactive_planner.py:376) and goal-behind filtering.  The standstill
+    fallback (reactive_planner.py:638-653) runs per problem ON DEVICE: a
+    blocked member at v ~ 0 freezes its pose at zero velocity and cost 0
+    and STAYS ALIVE instead of dropping out of the fleet.
     """
     from jax.sharding import PartitionSpec as P
     from jax.experimental.shard_map import shard_map
@@ -171,6 +182,11 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
 
     t_full = scene.obs_pose.shape[2]
 
+    stopping = longitudinal_mode == "stopping"
+    if stopping and (desired_s is None or s_window is None):
+        raise ValueError("stopping mode requires desired_s and s_window")
+    lookahead = min(standstill_lookahead, n_steps)
+
     def cycle(carry, _, *, scene, packed, ref_s_last, veh_stack):
         F = carry.x0_lon.shape[0]
         v_min = jnp.maximum(0.0, carry.velocity
@@ -178,10 +194,20 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         v_max = jnp.maximum(v_min + 5.0, carry.velocity + 2.0)
         low_vel = carry.velocity < low_vel_threshold
 
-        cl, ca, tl = jax.vmap(
-            grid_ops.velocity_keeping_candidates,
-            in_axes=(0, 0, 0, 0, 0, None))(
-                carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, static_grid)
+        if stopping:
+            s_win = jnp.asarray(s_window, dtype)               # [F, 2]
+            cl, ca, tl, gv = jax.vmap(
+                grid_ops.stopping_candidates,
+                in_axes=(0, 0, 0, 0, 0, None))(
+                    carry.x0_lon, carry.x0_lat, s_win[:, 0], s_win[:, 1],
+                    low_vel, static_grid)
+        else:
+            cl, ca, tl = jax.vmap(
+                grid_ops.velocity_keeping_candidates,
+                in_axes=(0, 0, 0, 0, 0, None))(
+                    carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel,
+                    static_grid)
+            gv = jnp.ones(cl.shape[:2], dtype=bool)
         K = cl.shape[1]
 
         def window(pose, valid, step):
@@ -211,14 +237,17 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                  poly_valid_w.astype(dtype)[..., None]], axis=-1)
 
         costs, kin_costs, _ = pallas_cycle._score_fleet_pallas(
-            cl, ca, tl, jnp.ones((F, K), dtype=bool), packed,
+            cl, ca, tl, gv, packed,
             obs_pose_w, scene.obs_half, obs_valid_w, veh_stack,
             carry.orientation, dt, low_vel.astype(dtype),
             scene.desired_speed.astype(dtype), jnp.zeros(F, dtype),
-            jnp.full(F, 5.0, dtype), ref_s_last,
+            jnp.full(F, w_a, dtype), ref_s_last,
+            desired_s=None if not stopping
+            else jnp.asarray(desired_s, dtype),
             obs_radius=scene.obs_radius.astype(dtype),
             poly_table=poly_table,
-            n_steps=n_steps, interpret=interpret)          # [F, K] each
+            n_steps=n_steps, has_desired_s=stopping,
+            interpret=interpret)                           # [F, K] each
 
         best = jnp.argmin(costs, axis=1)                   # [F]
         best_cost = jnp.take_along_axis(costs, best[:, None], axis=1)[:, 0]
@@ -249,17 +278,38 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         new_lat = jnp.stack([pick(rollout.d), pick(rollout.d_dot),
                              pick(rollout.d_ddot)], axis=1)
 
+        # device-side standstill fallback (reactive_planner.py:638-653):
+        # at v ~ 0 with nothing found (or a winner that stays slow at the
+        # lookahead step) the member plans the standstill trajectory —
+        # pose frozen, v = 0, cost 0 — and stays alive
+        standstill = ((carry.velocity <= 0.05)
+                      & (~found | (rollout.v[:, 0, lookahead] <= 0.05)))
+        sel = lambda cond, a, b: jnp.where(
+            cond.reshape((-1,) + (1,) * (a.ndim - 1)), a, b)
+        new_lon = sel(standstill, carry.x0_lon, new_lon)
+        new_lat = sel(standstill, carry.x0_lat, new_lat)
+        new_theta = jnp.where(standstill, carry.orientation,
+                              pick(rollout.theta_gl))
+        new_v = jnp.where(standstill, 0.0, pick(rollout.v))
+        new_x = jnp.where(standstill, carry.px, pick(rollout.x))
+        new_y = jnp.where(standstill, carry.py, pick(rollout.y))
+        best_cost = jnp.where(standstill, 0.0, best_cost)
+        found = found | standstill
+
         step_alive = carry.alive & found
-        keep = lambda new, old: jnp.where(
-            step_alive.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+        keep = lambda new, old: sel(step_alive, new, old)
         new_carry = type(carry)(
             x0_lon=keep(new_lon, carry.x0_lon),
             x0_lat=keep(new_lat, carry.x0_lat),
-            orientation=keep(pick(rollout.theta_gl), carry.orientation),
-            velocity=keep(pick(rollout.v), carry.velocity),
+            orientation=keep(new_theta, carry.orientation),
+            velocity=keep(new_v, carry.velocity),
             time_step=jnp.where(step_alive, carry.time_step + r,
                                 carry.time_step),
-            alive=step_alive)
+            alive=step_alive,
+            kappa=keep(jnp.where(standstill, carry.kappa,
+                                 pick(rollout.kappa_gl)), carry.kappa),
+            px=keep(new_x, carry.px),
+            py=keep(new_y, carry.py))
         # dead members (incl. pad_fleet padding) drop out of the aggregates
         n_success = jnp.sum(step_alive.astype(jnp.int32))
         cost_sum = jnp.sum(jnp.where(step_alive, best_cost, 0.0))
@@ -270,10 +320,10 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             n_found = jnp.maximum(jax.lax.psum(
                 jnp.sum(step_alive.astype(jnp.int32)), FLEET_AXIS), 1)
         metrics = (step_alive, jnp.where(step_alive, best_cost, jnp.inf),
-                   pick(rollout.x), pick(rollout.y),
+                   new_x, new_y,
                    n_success, cost_sum / n_found,
                    n_kin_infeasible, n_colliding,
-                   pick(rollout.theta_gl), pick(rollout.v))
+                   new_theta, new_v)
         return new_carry, metrics
 
     def local_scan(carry, scene, packed, ref_s_last, veh_stack):
@@ -288,7 +338,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         f = P(FLEET_AXIS)
         from commonroad_rp_tpu.parallel.fleet import FleetCarry, FleetScene
         from commonroad_rp_tpu.ops import frenet as frenet_ops
-        carry_spec = FleetCarry(*([f] * 6))
+        carry_spec = FleetCarry(*([f] * 9))
         scene_spec = FleetScene(
             ref=frenet_ops.RefPathTables(*([f] * 8)),
             obs_pose=f, obs_half=f, obs_valid=f, obs_radius=f,

@@ -105,5 +105,9 @@ def load_fleet_carry(path: str) -> Tuple[object, int]:
     from commonroad_rp_tpu.parallel.fleet import FleetCarry
 
     data = np.load(path)
-    carry = FleetCarry(**{f: jnp.asarray(data[f]) for f in FleetCarry._fields})
+    n = data["velocity"].shape[0]
+    zeros = np.zeros(n, np.float32)
+    # pre-round-3 checkpoints lack the standstill-fallback fields
+    carry = FleetCarry(**{f: jnp.asarray(data[f] if f in data else zeros)
+                          for f in FleetCarry._fields})
     return carry, int(data["cycle_index"])

@@ -73,7 +73,10 @@ def test_fleet_carry_roundtrip(tmp_path):
         orientation=jnp.asarray(np.random.rand(4), jnp.float32),
         velocity=jnp.asarray(np.random.rand(4), jnp.float32),
         time_step=jnp.asarray([0, 3, 6, 9], jnp.int32),
-        alive=jnp.asarray([True, True, False, True]))
+        alive=jnp.asarray([True, True, False, True]),
+        kappa=jnp.asarray(np.random.rand(4), jnp.float32),
+        px=jnp.asarray(np.random.rand(4), jnp.float32),
+        py=jnp.asarray(np.random.rand(4), jnp.float32))
     path = str(tmp_path / "fleet.npz")
     checkpoint.save_fleet_carry(carry, cycle_index=7, path=path)
     restored, cycle = checkpoint.load_fleet_carry(path)

@@ -219,3 +219,83 @@ def test_pallas_fleet_scan_sharded_over_mesh(repo_root):
                                   np.asarray(metrics_l[4]))
     np.testing.assert_allclose(np.asarray(metrics_s[5]),
                                np.asarray(metrics_l[5]), rtol=1e-5)
+
+
+def _over_problem(repo_root, n_steps=20, velocity=None):
+    scenario, pp, _ = load_scenario_and_planning_problem(
+        str(repo_root / "example_scenarios" / "ZAM_Over-1_1.xml"))
+    if velocity is not None:
+        pp.initial_state.velocity = velocity
+        pp.initial_state.yaw_rate = 0.0
+        pp.initial_state.acceleration = 0.0
+    route = RoutePlanner(scenario, pp).plan_routes().retrieve_first_route()
+    return fleet_ops.problem_from_planner_setup(
+        scenario, pp, route.reference_path, n_steps=n_steps, horizon_pad=60,
+        dtype=jnp.float32)
+
+
+def test_fleet_standstill_fallback(repo_root):
+    """A blocked fleet member at v ~ 0 must plan the standstill fallback on
+    device (reactive_planner.py:638-653): pose frozen, v = 0, cost 0 — and
+    STAY ALIVE instead of dropping out of the fleet."""
+    n_steps, dt = 20, 0.1
+    problem = _over_problem(repo_root, velocity=0.04)
+    scene, carry = fleet_ops.build_fleet_scene([problem], n_steps,
+                                               dtype=jnp.float32)
+    # squeeze the drivable band to a sliver: every candidate collides
+    scene = scene._replace(
+        corridor_lo=jnp.full_like(scene.corridor_lo, 0.001),
+        corridor_hi=jnp.full_like(scene.corridor_hi, 0.002))
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+    n_cycles = 4
+    run = pallas_fleet.make_pallas_fleet_scan(
+        scene, grid, dt, n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * dt, n_cycles=n_cycles, interpret=True)
+    final, metrics = run(carry)
+
+    alive = np.asarray(metrics[0])                     # [C, F]
+    costs = np.asarray(metrics[1])
+    xs, ys = np.asarray(metrics[2]), np.asarray(metrics[3])
+    vs = np.asarray(metrics[9])
+    assert alive.all(), "standstill fallback must keep the member alive"
+    np.testing.assert_array_equal(costs, 0.0)
+    np.testing.assert_array_equal(vs, 0.0)
+    # pose frozen at the initial cartesian position
+    np.testing.assert_allclose(xs, float(problem["px"]), atol=1e-5)
+    np.testing.assert_allclose(ys, float(problem["py"]), atol=1e-5)
+    assert int(final.time_step[0]) == n_cycles * 3
+    np.testing.assert_allclose(np.asarray(final.velocity), 0.0)
+
+
+def test_fleet_stopping_mode(repo_root):
+    """Stopping mode through the fleet scan: per-problem stop targets,
+    quintic lon sampling + stopping cost (w_a = 1) + goal-behind filtering;
+    both members decelerate toward their targets."""
+    n_steps, dt = 20, 0.1
+    problems = []
+    for v0 in (8.0, 7.0):
+        p = dict(_over_problem(repo_root, velocity=v0))
+        p["desired_speed"] = 0.0           # stopping target speed
+        problems.append(p)
+    scene, carry = fleet_ops.build_fleet_scene(problems, n_steps,
+                                               dtype=jnp.float32)
+    s0 = np.asarray(problems[0]["x0_lon"])[0]
+    desired_s = np.asarray([s0 + 8.0, s0 + 7.0], np.float32)
+    s_window = np.stack([desired_s - 1.0, desired_s + 1.0], axis=1)
+    grid = grid_ops.make_static_grid(2, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+    n_cycles = 8
+    run = pallas_fleet.make_pallas_fleet_scan(
+        scene, grid, dt, n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=n_steps * dt, n_cycles=n_cycles, interpret=True,
+        longitudinal_mode="stopping", desired_s=desired_s,
+        s_window=s_window, w_a=1.0)
+    final, metrics = run(carry)
+
+    alive = np.asarray(metrics[0])
+    assert alive[0].all()                  # first cycles plan successfully
+    v_final = np.asarray(final.velocity)
+    assert (v_final < 3.0).all(), f"should be decelerating, v={v_final}"
+    s_final = np.asarray(final.x0_lon)[:, 0]
+    # approached (not overshot far beyond) the stop targets
+    assert (s_final < desired_s + 2.0).all()
+    assert (s_final > s0 + 2.0).all()
