@@ -398,7 +398,8 @@ def main():
                       scene_.obs_valid[0], scene_.obs_radius[0],
                       scene_.poly_verts[0], scene_.poly_valid[0],
                       scene_.corridor_lo[0], scene_.corridor_hi[0],
-                      scene_.desired_speed[0])
+                      scene_.desired_speed[0], kappa=carry_.kappa[0],
+                      px=carry_.px[0], py=carry_.py[0])
 
     t0 = time.time()
     out = cycle(carry, scene, carry.velocity[0])

@@ -87,10 +87,18 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                           poly_verts, poly_valid,
                           corridor_lo, corridor_hi, desired_speed,
                           veh: kin_ops.VehicleArrays,
+                          kappa=None, px=None, py=None,
                           *, static_grid: grid_ops.StaticGrid,
                           dt: float, n_steps: int, replan_offset: int,
-                          low_vel_threshold: float, horizon: float):
-    """One planning cycle for ONE problem (vmapped over the fleet shard)."""
+                          low_vel_threshold: float, horizon: float,
+                          standstill_lookahead: int = 10):
+    """One planning cycle for ONE problem (vmapped over the fleet shard).
+
+    With ``kappa``/``px``/``py`` given (the FleetCarry pose fields), the
+    standstill fallback (reactive_planner.py:638-653) engages on device: at
+    v ~ 0 with no feasible candidate (or a winner still slow at the
+    lookahead step) the member freezes its pose at v = 0 / cost 0 and stays
+    alive.  Without them (legacy callers) failure deadens the member."""
     dtype = carry_lon.dtype
 
     # velocity window (reactive_planner.py:332-334)
@@ -149,6 +157,25 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                          rollout.d_ddot[best, r]])
     new_orientation = rollout.theta_gl[best, r]
     new_velocity = rollout.v[best, r]
+    new_x = rollout.x[best, r]
+    new_y = rollout.y[best, r]
+    new_kappa = rollout.kappa_gl[best, r]
+    best_cost = masked[best]
+
+    if kappa is not None:
+        # device-side standstill fallback (reactive_planner.py:638-653)
+        lookahead = min(standstill_lookahead, n_steps)
+        standstill = ((velocity <= 0.05)
+                      & (~found | (rollout.v[best, lookahead] <= 0.05)))
+        new_lon = jnp.where(standstill, carry_lon, new_lon)
+        new_lat = jnp.where(standstill, carry_lat, new_lat)
+        new_orientation = jnp.where(standstill, orientation, new_orientation)
+        new_velocity = jnp.where(standstill, 0.0, new_velocity)
+        new_x = jnp.where(standstill, px, new_x)
+        new_y = jnp.where(standstill, py, new_y)
+        new_kappa = jnp.where(standstill, kappa, new_kappa)
+        best_cost = jnp.where(standstill, 0.0, best_cost)
+        found = found | standstill
 
     step_alive = alive & found
     keep = lambda new, old: jnp.where(step_alive, new, old)
@@ -156,11 +183,14 @@ def _single_problem_cycle(carry_lon, carry_lat, orientation, velocity,
                  keep(new_orientation, orientation),
                  keep(new_velocity, velocity),
                  jnp.where(step_alive, time_step + r, time_step),
-                 step_alive)
+                 step_alive,
+                 keep(new_kappa, kappa) if kappa is not None else None,
+                 keep(new_x, px) if px is not None else None,
+                 keep(new_y, py) if py is not None else None)
     # dead members (incl. pad_fleet padding) report found=False / inf cost so
     # fleet aggregates count live problems only
-    metrics = (step_alive, jnp.where(step_alive, masked[best], jnp.inf),
-               rollout.x[best, r], rollout.y[best, r])
+    metrics = (step_alive, jnp.where(step_alive, best_cost, jnp.inf),
+               new_x, new_y)
     return out_carry, metrics
 
 
@@ -182,7 +212,8 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
         n_steps=n_steps, replan_offset=replan_offset,
         low_vel_threshold=low_vel_threshold, horizon=horizon)
     vcycle = jax.vmap(cycle,
-                      in_axes=(0,) * 16 + (None if veh is not None else 0,))
+                      in_axes=(0,) * 16 + (None if veh is not None else 0,)
+                      + (0, 0, 0))
 
     def local_step(carry: FleetCarry, scene: FleetScene):
         out_carry, (found, best_cost, x, y) = vcycle(
@@ -191,11 +222,9 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
             scene.obs_half, scene.obs_valid, scene.obs_radius,
             scene.poly_verts, scene.poly_valid, scene.corridor_lo,
             scene.corridor_hi, scene.desired_speed,
-            veh if veh is not None else scene.veh)
-        # kappa/px/py are consumed only by the pallas scan's standstill
-        # fallback; the minimal XLA body carries them through unchanged
-        new_carry = FleetCarry(*out_carry, kappa=carry.kappa,
-                               px=carry.px, py=carry.py)
+            veh if veh is not None else scene.veh,
+            carry.kappa, carry.px, carry.py)
+        new_carry = FleetCarry(*out_carry)
         # fleet-level aggregates: ICI collectives across the mesh
         n_success = jax.lax.psum(jnp.sum(found.astype(jnp.int32)), FLEET_AXIS)
         finite = jnp.isfinite(best_cost)

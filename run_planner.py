@@ -37,6 +37,11 @@ def main():
                         help="drive the whole replanning loop as device-"
                              "resident plan_scan dispatches (implies --fast; "
                              "fastest per-cycle path on TPU)")
+    parser.add_argument("--stop-at", type=float, default=None, metavar="DS",
+                        help="stopping mode: plan to a halt DS meters ahead "
+                             "along the reference path (sets "
+                             "sampling.longitudinal_mode=stopping; the loop "
+                             "ends when the vehicle halts)")
     args = parser.parse_args()
 
     import jax
@@ -63,6 +68,8 @@ def main():
 
     if args.scan:
         args.fast = True
+    if args.stop_at is not None:
+        config.sampling.longitudinal_mode = "stopping"
     if args.fast and args.dtype and args.dtype != "float32":
         parser.error(f"--fast requires float32 kernels (the Pallas scorer "
                      f"has no {args.dtype} layout); drop --dtype or --fast")
@@ -96,9 +103,19 @@ def main():
     optimal = None
     t_start = time.time()
 
+    stop_s = None
+    if args.stop_at is not None:
+        if not planner.x_0_cl:
+            planner.x_0_cl = planner._compute_initial_states(planner.x_0)
+        stop_s = float(planner.x_0_cl[0][0]) + args.stop_at
+        planner.set_desired_lon_position(stop_s)
+        logger.info("Stopping mode: target s = %.2f (+%.1f m)", stop_s,
+                    args.stop_at)
+
     if args.scan:
         # device-resident loop: chunks of replanning cycles per dispatch
-        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        if stop_s is None:
+            planner.set_desired_velocity(current_speed=planner.x_0.velocity)
         freq = config.planning.replanning_frequency
         chunk = 12
         scan_infos = []
@@ -106,6 +123,9 @@ def main():
             if len(planner.record_state_list) - 1 >= args.max_steps:
                 logger.warning("Aborting after %d steps without reaching goal",
                                len(planner.record_state_list) - 1)
+                break
+            if stop_s is not None and planner.x_0.velocity <= 0.05:
+                logger.info("Vehicle halted at the stop target")
                 break
             info = planner.plan_scan(chunk)
             scan_infos.append(info)
@@ -119,6 +139,13 @@ def main():
         wall = time.time() - t_start
         n_steps = len(planner.record_state_list) - 1
         reached = planner.goal_reached()
+        if stop_s is not None:
+            final_v = planner.x_0.velocity
+            final_s = float(planner.x_0_cl[0][0]) if planner.x_0_cl else None
+            reached = final_v <= 0.05 and final_s is not None and \
+                abs(final_s - stop_s) < 5.0
+            print(f"stopping: halted={final_v <= 0.05} v={final_v:.3f} "
+                  f"s={final_s:.2f} target={stop_s:.2f}", flush=True)
         n_cycles = sum(i["cycles_run"] for i in scan_infos)
         print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "
               f"cycles={n_cycles} "
@@ -138,11 +165,17 @@ def main():
             logger.warning("Aborting after %d steps without reaching goal",
                            current_count)
             break
+        if stop_s is not None and planner.x_0.velocity <= 0.05:
+            logger.info("Vehicle halted at the stop target")
+            break
 
         plan_new_trajectory = \
             current_count % config.planning.replanning_frequency == 0
         if plan_new_trajectory:
-            planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+            if stop_s is not None:
+                planner.set_desired_lon_position(stop_s)
+            else:
+                planner.set_desired_velocity(current_speed=planner.x_0.velocity)
             if args.sampling_iteration_outside:
                 # per-level escalation driven by the caller (run_planner.py:72-75)
                 optimal = None
@@ -174,6 +207,13 @@ def main():
     wall = time.time() - t_start
     n_steps = len(planner.record_state_list) - 1
     reached = planner.goal_reached()
+    if stop_s is not None:
+        final_v = planner.x_0.velocity
+        final_s = float(planner.x_0_cl[0][0]) if planner.x_0_cl else None
+        reached = final_v <= 0.05 and final_s is not None and \
+            abs(final_s - stop_s) < 5.0
+        print(f"stopping: halted={final_v <= 0.05} v={final_v:.3f} "
+              f"s={final_s:.2f} target={stop_s:.2f}", flush=True)
     if planner.planning_times:
         ordered = sorted(planner.planning_times)
         print(f"goal_reached={reached} steps={n_steps} wall={wall:.2f}s "

@@ -351,3 +351,35 @@ def test_fleet_disc_obstacles_xla_vs_pallas(repo_root, tmp_path):
     # while passing it (x0 starts at d~0; metrics x confirms progress)
     assert float(np.asarray(metrics_x.x).max()) > 45.0
     assert float(np.abs(np.asarray(final_x.x0_lat)[:, 0]).max()) > 0.2
+
+
+def test_xla_fleet_standstill_fallback(repo_root):
+    """XLA fleet path: a blocked member at v ~ 0 plans the standstill
+    fallback (pose frozen, v = 0, cost 0) and stays alive — same device
+    branch as the pallas fleet scan (reactive_planner.py:638-653)."""
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.parallel import fleet as fleet_ops
+    from commonroad_rp_tpu.parallel.mesh import make_fleet_mesh
+    from tests.test_pallas_fleet import _over_problem
+
+    n_steps, dt = 20, 0.1
+    problem = _over_problem(repo_root, velocity=0.04)
+    scene, carry = fleet_ops.build_fleet_scene([problem], n_steps,
+                                               dtype=jnp.float32)
+    scene = scene._replace(
+        corridor_lo=jnp.full_like(scene.corridor_lo, 0.001),
+        corridor_hi=jnp.full_like(scene.corridor_hi, 0.002))
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+    run = fleet_ops.make_fleet_rollout(
+        make_fleet_mesh(1), None, grid, dt, n_steps, replan_offset=3,
+        low_vel_threshold=4.0, horizon=n_steps * dt, n_cycles=4)
+    final, metrics = run(carry, scene)
+
+    found = np.asarray(metrics.found)
+    assert found.all(), "standstill fallback must keep the member alive"
+    np.testing.assert_array_equal(np.asarray(metrics.best_cost), 0.0)
+    np.testing.assert_allclose(np.asarray(metrics.x), float(problem["px"]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(final.velocity), 0.0)
+    assert int(final.time_step[0]) == 12
