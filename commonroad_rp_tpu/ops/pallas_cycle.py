@@ -785,14 +785,19 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             interpret=interpret,
         )(scal_tab, cl, ca, tl, gv, tab, pair_stack, band, obs, poly)
 
-    if P <= _WINDOW_ROWS:
+    # hardware-measured 2026-08-19: halving the window for short horizons
+    # gains nothing (37.3M vs 37.2M at T=21) — at 256 rows the kernel is no
+    # longer table-dominated; keep one size (tests monkeypatch _WINDOW_ROWS
+    # huge to force the full-table path)
+    W = _WINDOW_ROWS
+    if P <= W:
         out = call_kernel(table)
     else:
         # ---- dynamic table window (exactness-preserving) ----------------
         # Every per-step table query (gather + the three corridor probes)
         # is P-proportional work inside the kernel; candidates only touch
         # the arclength range their rollouts reach, so slice a fixed
-        # _WINDOW_ROWS-row window around it (bounds from a cheap dense XLA
+        # W-row window around it (bounds from a cheap dense XLA
         # eval of the longitudinal polynomials, incl. the constant-velocity
         # enlarge extension and the probe extent margin) and fall back to
         # the full table via lax.cond when the window cannot cover the
@@ -824,11 +829,11 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
 
         s_col_full = table[:, 0]
         i0 = jnp.clip(jnp.sum(s_col_full <= qmin).astype(jnp.int32) - 1,
-                      0, P - _WINDOW_ROWS)
+                      0, P - W)
         s_top = jax.lax.dynamic_slice_in_dim(
-            s_col_full, i0 + _WINDOW_ROWS - 1, 1)[0]
+            s_col_full, i0 + W - 1, 1)[0]
         window_ok = qmax < s_top
-        window = jax.lax.dynamic_slice_in_dim(table, i0, _WINDOW_ROWS, axis=0)
+        window = jax.lax.dynamic_slice_in_dim(table, i0, W, axis=0)
         out = jax.lax.cond(window_ok,
                            lambda: call_kernel(window),
                            lambda: call_kernel(table))
@@ -993,13 +998,14 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             interpret=interpret,
         )(scal_tab, cl, ca, tl, gv, tabs, pair_stack, band, obs, poly)
 
-    if P <= _WINDOW_ROWS:
+    W = _WINDOW_ROWS
+    if P <= W:
         out = call_kernel(tables)
     else:
         # per-problem dynamic table windows (see _score_candidates_pallas;
         # bounds from a dense XLA eval of the lon polynomials, lax.cond
         # full-table fallback keeps exactness when any problem's span
-        # cannot fit _WINDOW_ROWS contiguous rows)
+        # cannot fit W contiguous rows)
         c = coeffs_lon.astype(dtype)                         # [F, K, 6]
         tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, None, :]
         s_all = (((((c[..., 5:6] * tq + c[..., 4:5]) * tq + c[..., 3:4]) * tq
@@ -1026,13 +1032,13 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         s_cols = tables[:, :, 0]                             # [F, P]
         i0 = jnp.clip(jnp.sum(s_cols <= qmin[:, None],
                               axis=1).astype(jnp.int32) - 1,
-                      0, P - _WINDOW_ROWS)
+                      0, P - W)
         s_top = jnp.take_along_axis(
-            s_cols, (i0 + _WINDOW_ROWS - 1)[:, None], axis=1)[:, 0]
+            s_cols, (i0 + W - 1)[:, None], axis=1)[:, 0]
         window_ok = jnp.all(qmax < s_top)
         windows = jax.vmap(
             lambda t, i: jax.lax.dynamic_slice_in_dim(
-                t, i, _WINDOW_ROWS, axis=0))(tables, i0)
+                t, i, W, axis=0))(tables, i0)
         out = jax.lax.cond(window_ok,
                            lambda: call_kernel(windows),
                            lambda: call_kernel(tables))
