@@ -57,9 +57,12 @@ def main():
     parser.add_argument("--platform", default=None)
     parser.add_argument("--repeats", type=int, default=50)
     parser.add_argument("--budget", type=float,
-                        default=float(os.environ.get("BENCH_BUDGET_S", 540.0)),
+                        default=float(os.environ.get("BENCH_BUDGET_S", 720.0)),
                         help="global wall-clock budget in seconds; stages "
-                             "that cannot fit are skipped")
+                             "that cannot fit are skipped (the tunneled "
+                             "device attach alone can eat minutes, and "
+                             "incremental emission caps the downside of a "
+                             "generous budget)")
     parser.add_argument("--baseline-candidates", type=int, default=400,
                         help="oracle candidates to time (extrapolated)")
     parser.add_argument("--pallas-probe", action="store_true",
