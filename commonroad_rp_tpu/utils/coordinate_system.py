@@ -40,6 +40,11 @@ class CoordinateSystem:
             if smooth_reference:
                 reference = geometry.smooth_ref_path(reference)
                 reference = geometry.remove_duplicate_vertices(reference)
+            # the C++ CLCS extends the polyline beyond its ends; without a
+            # front extension an initial rear-axle position before the
+            # route start clamps to s = 0 and teleports the first planned
+            # state (see geometry.extend_ref_path_front)
+            reference = geometry.extend_ref_path_front(reference)
             self._reference = reference
             self._tables = frenet_ops.from_polyline(reference, dtype=dtype)
 

@@ -115,6 +115,29 @@ def preprocess_ref_path(ref_path: np.ndarray, resample_step: float = 1.0,
     return path
 
 
+def extend_ref_path_front(ref_path: np.ndarray, length: float = 5.0
+                          ) -> np.ndarray:
+    """Linearly extend a reference path BEHIND its first vertex.
+
+    The C++ CLCS extends the reference polyline beyond both ends when
+    building the coordinate system, so initial states slightly before the
+    route start (e.g. a rear-axle position when the planning problem's
+    vehicle center sits exactly at the first lanelet vertex, as in
+    ZAM-Ramp) project to a proper negative offset instead of clamping to
+    s = 0 — a clamp there teleports the first planned state to the path
+    start (measured: a 1.37 m KS-infeasible first transition).  Points are
+    prepended along the reversed first-segment tangent at that segment's
+    spacing.
+    """
+    p0, p1 = ref_path[0], ref_path[1]
+    seg = p1 - p0
+    step = float(np.hypot(*seg))
+    tangent = seg / step
+    n = max(int(np.ceil(length / step)), 1)
+    pre = p0 - np.outer(np.arange(n, 0, -1) * step, tangent)
+    return np.concatenate([pre, ref_path], axis=0)
+
+
 def extrapolate_ref_path(ref_path: np.ndarray, resample_step: float = 2.0) -> np.ndarray:
     """Linearly extend the final segment of a reference path.
 

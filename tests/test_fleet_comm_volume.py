@@ -77,3 +77,31 @@ def test_no_bulk_collectives(lowered_text):
     for name in _FORBIDDEN:
         assert f"stablehlo.{name}" not in lowered_text, \
             f"unexpected collective {name} in the fleet scan"
+
+
+def test_pallas_fleet_scan_comm_volume(repo_root):
+    """Same pin for the production pallas fleet scan under a mesh: three
+    scalar psums per cycle (parallel/pallas_fleet.py:268-271), nothing
+    bulk."""
+    import importlib.util
+
+    from commonroad_rp_tpu.parallel import pallas_fleet
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", repo_root / "__graft_entry__.py")
+    graft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(graft)
+    n_steps, dt = 20, 0.1
+    problem = graft._build_problem(jnp.float32, n_steps)
+    scene, carry = fleet_ops.build_fleet_scene([problem] * 8, n_steps,
+                                               dtype=jnp.float32)
+    grid = grid_ops.make_static_grid(1, 0.4, 2.0, dt, -3.0, 3.0, 4)
+    run = pallas_fleet.make_pallas_fleet_scan(
+        scene, grid, dt, n_steps, replan_offset=3, low_vel_threshold=4.0,
+        horizon=2.0, n_cycles=2, interpret=True, mesh=make_fleet_mesh(8))
+    with jax.enable_x64(False):
+        text = jax.jit(lambda c: run(c)).lower(carry).as_text()
+    n_reduce = len(re.findall(r"stablehlo\.all_reduce", text))
+    assert n_reduce == 3, f"expected 3 scalar psums, found {n_reduce}"
+    for name in _FORBIDDEN:
+        assert f"stablehlo.{name}" not in text, name

@@ -73,11 +73,16 @@ _GOLDEN_FIRST_CYCLE = {
         end_orientation=3.297691703707007e-16,
         infeasible_kinematics=76, infeasible_collision=0,
         reason_dict={"acceleration": 18, "kappa_dot": 52, "yaw_rate": 6}),
+    # end_position re-pinned 2026-08-19: the CLCS front extension
+    # (geometry.extend_ref_path_front) lets the rear-axle x0 before the
+    # route start project properly instead of clamping to s = 0, so the
+    # first cycle starts 1.42 m (wb_rear_axle) further back — selection,
+    # cost, and counters are unchanged
     "ZAM-Ramp-1_1-T-1": dict(
-        cost=305733.87850203435,
-        end_position=(7.750000000000048, 1.7499999999999982),
-        end_velocity=5.0000000000001075,
-        end_orientation=-1.110223024625188e-16,
+        cost=305733.87850203505,
+        end_position=(6.327282906400004, 1.7499999999999991),
+        end_velocity=5.000000000000005,
+        end_orientation=6.86410096761853e-17,
         infeasible_kinematics=68, infeasible_collision=0,
         reason_dict={"acceleration": 12, "kappa": 12, "kappa_dot": 44}),
     "ZAM_Tjunction-1_42_T-1": dict(
