@@ -39,9 +39,11 @@ def test_projection_matches_coordinate_system():
     from commonroad_rp_tpu.utils.coordinate_system import CoordinateSystem
     poly = _arc()
     co = CoordinateSystem(poly, smooth_reference=False)
-    s, theta, tangent, normal = native.clcs_build_tables(poly)
+    # build the native tables from the SAME polyline the CoordinateSystem
+    # projects onto (it prepends the CLCS front extension, which offsets s)
+    s, theta, tangent, normal = native.clcs_build_tables(co.reference)
     q = np.array([[25.0, 9.0]])
-    s_n, d_n, _ = native.clcs_project(poly, s, tangent, normal, q)
+    s_n, d_n, _ = native.clcs_project(co.reference, s, tangent, normal, q)
     sd = co.convert_to_curvilinear_coords(25.0, 9.0)
     np.testing.assert_allclose([s_n[0], d_n[0]], sd, atol=1e-9)
 
