@@ -299,3 +299,39 @@ def test_fleet_stopping_mode(repo_root):
     # approached (not overshot far beyond) the stop targets
     assert (s_final < desired_s + 2.0).all()
     assert (s_final > s0 + 2.0).all()
+
+
+def test_pallas_fleet_mid_scan_resume(repo_root, tmp_path):
+    """6-cycle pallas fleet scan == 3 cycles + checkpoint roundtrip +
+    3 more cycles (bitwise carries, stacked metrics match) — the same
+    resume guarantee the XLA path pins, on the production scorer."""
+    from commonroad_rp_tpu.utils.checkpoint import (load_fleet_carry,
+                                                    save_fleet_carry)
+
+    n_steps, dt = 20, 0.1
+    problem = _over_problem(repo_root)
+    scene, carry = fleet_ops.build_fleet_scene([problem] * 2, n_steps,
+                                               dtype=jnp.float32)
+    grid = grid_ops.make_static_grid(1, 0.4, n_steps * dt, dt, -3.0, 3.0, 4)
+
+    def runner(n_cycles):
+        return pallas_fleet.make_pallas_fleet_scan(
+            scene, grid, dt, n_steps, replan_offset=3, low_vel_threshold=4.0,
+            horizon=n_steps * dt, n_cycles=n_cycles, interpret=True)
+
+    final6, metrics6 = runner(6)(carry)
+    run3 = runner(3)
+    mid, metrics_a = run3(carry)
+    path = str(tmp_path / "pallas_fleet_mid.npz")
+    save_fleet_carry(mid, cycle_index=3, path=path)
+    restored, cycle_index = load_fleet_carry(path)
+    assert cycle_index == 3
+    final_r, metrics_b = run3(restored)
+
+    for a, b in zip(final6, final_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for i in (0, 1, 2, 3, 8, 9):           # alive, cost, x, y, theta, v
+        np.testing.assert_array_equal(
+            np.asarray(metrics6[i]),
+            np.concatenate([np.asarray(metrics_a[i]),
+                            np.asarray(metrics_b[i])]))
