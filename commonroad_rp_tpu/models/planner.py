@@ -625,9 +625,13 @@ class ReactivePlanner:
                      float(getattr(cf, "w_a", 5.0)),
                      float(getattr(cf, "desired_d", 0.0)), ctx["flags"],
                      longitudinal_mode, desired_s, s_window, lookahead)
-        cached = getattr(self, "_plan_scan_cache", None)
-        if cached is not None and cached[0] == cache_key:
-            run = cached[1]
+        cache = getattr(self, "_plan_scan_cache", None)
+        if cache is None:
+            from collections import OrderedDict
+            cache = self._plan_scan_cache = OrderedDict()
+        if cache_key in cache:
+            cache.move_to_end(cache_key)          # LRU refresh
+            run = cache[cache_key]
         else:
             run = pallas_fleet.make_facade_replanning_scan(
                 self._co.tables, corridor, obstacles_full, ctx["veh"], grids,
@@ -638,7 +642,12 @@ class ReactivePlanner:
                 interpret=_jax.default_backend() != "tpu",
                 longitudinal_mode=longitudinal_mode, desired_s=desired_s,
                 s_window=s_window, standstill_lookahead=lookahead)
-            self._plan_scan_cache = (cache_key, run)
+            # LRU over the last few built scans: mode-alternating missions
+            # (velocity-keeping <-> stopping) must not retrace per switch
+            cache[cache_key] = run
+            self._plan_scan_builds = getattr(self, "_plan_scan_builds", 0) + 1
+            while len(cache) > 4:
+                cache.popitem(last=False)
 
         x0_lon, x0_lat = self.x_0_cl
         kappa_0 = np.tan(self.x_0.steering_angle) / \

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from commonroad_rp_tpu.ops import collision as collision_ops
 from commonroad_rp_tpu.ops import cost as cost_ops
@@ -252,7 +252,7 @@ def make_fleet_step(mesh: Mesh, veh: Optional[kin_ops.VehicleArrays],
                    CycleMetrics(found=P(FLEET_AXIS), best_cost=P(FLEET_AXIS),
                                 x=P(FLEET_AXIS), y=P(FLEET_AXIS),
                                 fleet_success=P(), fleet_mean_cost=P())),
-        check_rep=False)
+        check_vma=False)
     return sharded
 
 

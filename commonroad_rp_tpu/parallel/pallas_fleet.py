@@ -163,7 +163,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
     and STAYS ALIVE instead of dropping out of the fleet.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from commonroad_rp_tpu.parallel.mesh import FLEET_AXIS
     from commonroad_rp_tpu.ops.collision import CorridorArrays as _Corr
 
@@ -353,7 +353,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             local_scan, mesh=mesh,
             in_specs=(carry_spec, scene_spec, f, f, f),
             out_specs=(carry_spec, metrics_spec),
-            check_rep=False)
+            check_vma=False)
         raw = jax.jit(lambda carry: sharded(carry, scene, packed,
                                             ref_s_last, veh_stack))
 

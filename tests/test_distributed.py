@@ -20,7 +20,8 @@ def _free_port() -> int:
         return sock.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+# subprocess-level guard: proc.communicate(timeout=240) below (pytest-timeout
+# is not installed here, so a mark would be inert)
 def test_two_process_distributed_fleet(repo_root):
     port = _free_port()
     env = dict(os.environ)

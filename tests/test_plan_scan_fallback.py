@@ -170,3 +170,34 @@ def test_plan_scan_stopping_mode_matches_host(repo_root):
     np.testing.assert_allclose(scan_final, host_final, atol=0.5)
     assert got[len(want) - 1].velocity < 2.0
     assert info["cycles_run"] * FREQ + 1 >= len(want)
+
+
+def test_plan_scan_cache_lru_mode_alternation(repo_root):
+    """A velocity -> stopping -> velocity mission builds each scan ONCE: the
+    plan_scan cache is an LRU over the last few built scans, so alternating
+    longitudinal modes must not retrace (~1 s per rebuild) on every switch."""
+    planner = _make_planner(_cfg(repo_root), velocity=8.0)
+    v0 = planner.x_0.velocity
+    stop_s = planner.x_0_cl[0][0] + 8.0
+
+    def velocity_mode():
+        planner.config.sampling.longitudinal_mode = "velocity_keeping"
+        planner._desired_speed = None
+        planner.set_desired_velocity(desired_velocity=20.0, current_speed=v0)
+
+    def stopping_mode():
+        planner.config.sampling.longitudinal_mode = "stopping"
+        planner.set_desired_lon_position(stop_s)
+
+    velocity_mode()
+    planner.plan_scan(2, record=False)
+    assert planner._plan_scan_builds == 1
+    stopping_mode()
+    planner.plan_scan(2, record=False)
+    assert planner._plan_scan_builds == 2
+    velocity_mode()
+    planner.plan_scan(2, record=False)
+    assert planner._plan_scan_builds == 2          # cache hit, no rebuild
+    stopping_mode()
+    planner.plan_scan(2, record=False)
+    assert planner._plan_scan_builds == 2          # cache hit, no rebuild
