@@ -322,47 +322,109 @@ class CorridorSampling(SamplingSpace):
     def driving_corridor(self, corridor):
         self._corridor = corridor
 
+    def corridor_tables(self, level_sampling: int):
+        """Pad the corridor's dict/list structure into dense arrays for the
+        grid evaluation (and for the device scan path, ops.grid):
+        (steps [Nt], v_bounds [Nt, 2], lat [Nt, I, 4], lat_valid [Nt, I])
+        where ``lat`` columns are (s_lo, s_hi, d_lo, d_hi) in map order."""
+        ts = self.samples_t.samples_at_level(level_sampling)
+        steps = np.asarray([round(t / self.dt) + self._corridor.first_step
+                            for t in ts], dtype=np.int64)
+        v_bounds = np.asarray([self._corridor.velocity_interval(int(step))
+                               for step in steps], dtype=np.float64)
+        interval_lists = [self._corridor.lateral_interval_map.get(int(s), [])
+                          for s in steps]
+        n_iv = max((len(lst) for lst in interval_lists), default=0) or 1
+        lat = np.zeros((len(ts), n_iv, 4), dtype=np.float64)
+        lat[:, :, 0] = np.inf               # invalid rows never match s_end
+        lat_valid = np.zeros((len(ts), n_iv), dtype=bool)
+        for j, lst in enumerate(interval_lists):
+            for i, row in enumerate(lst):
+                lat[j, i] = row
+                lat_valid[j, i] = True
+        return np.asarray(ts, dtype=np.float64), v_bounds, lat, lat_valid
+
     def generate_trajectories_at_level(self, level_sampling: int,
                                        x_0_lon: np.ndarray, x_0_lat: np.ndarray,
                                        longitudinal_mode: str,
                                        low_vel_mode: bool) -> CandidateBatch:
+        """Array-shaped corridor grid: one broadcasted evaluation over the
+        (t, v, interval, d-slot) lattice, compressed by the validity mask —
+        same candidate set and order as the reference's per-candidate triple
+        loop (sampling.py:340-397), no Python loop over candidates.
+        """
         if self._corridor is None:
             raise AttributeError("<CorridorSampling>: please set a driving corridor.")
         x_0_lon = np.asarray(x_0_lon, dtype=np.float64)
         x_0_lat = np.asarray(x_0_lat, dtype=np.float64)
         num = self._num_samples[level_sampling]
 
-        rows = {k: [] for k in ("c_lon", "c_lat", "t", "lon", "d", "tau_lat")}
-        for t in self.samples_t.samples_at_level(level_sampling):
-            time_step = round(t / self.dt) + self._corridor.first_step
-            v_lo, v_hi = self._corridor.velocity_interval(time_step)
-            for v in np.unique(np.linspace(v_lo, v_hi, num)):
-                c_lon = quartic_coeffs_np(x_0_lon, np.float64(v), np.float64(t))
-                s_end = float(np.polyval(c_lon[::-1], t))
-                for d_lo, d_hi in self._corridor.lateral_intervals(time_step, s_end):
-                    d_samples = np.unique(np.linspace(d_lo, d_hi, num))
-                    if d_lo < 0 < d_hi:
-                        d_samples = np.unique(np.concatenate([d_samples, [0.0]]))
-                    for d in d_samples:
-                        c_lat = quintic_coeffs_np(
-                            x_0_lat, np.array([d, 0.0, 0.0]), np.float64(t))
-                        rows["c_lon"].append(c_lon)
-                        rows["c_lat"].append(c_lat)
-                        rows["t"].append(t)
-                        rows["lon"].append(v)
-                        rows["d"].append(d)
-                        rows["tau_lat"].append(t)
+        ts, v_bounds, lat, lat_valid = self.corridor_tables(level_sampling)
+        Nt = len(ts)
+        # np.linspace's exact construction: start + i * ((stop-start)/div)
+        # with the endpoint FORCED to stop (bitwise linspace parity)
+        idx = np.arange(num, dtype=np.float64)
 
-        t_arr = np.asarray(rows["t"])
+        def linspace_rows(lo, hi):
+            step = (hi - lo) / (num - 1)
+            rows = lo[..., None] + idx * step[..., None]
+            rows[..., -1] = hi
+            return rows
+
+        # velocity lattice with np.unique's dedup (linspace rows are sorted;
+        # duplicates appear only for degenerate windows)
+        V = linspace_rows(v_bounds[:, 0], v_bounds[:, 1])            # [Nt, num]
+        v_keep = np.ones_like(V, dtype=bool)
+        v_keep[:, 1:] = V[:, 1:] != V[:, :-1]
+
+        c_lon = quartic_coeffs_np(x_0_lon, V, ts[:, None])          # [Nt,num,6]
+        # s_end = polyval(c_lon, t): Horner over the coefficient axis
+        s_end = np.zeros_like(V)
+        for k in range(5, -1, -1):
+            s_end = s_end * ts[:, None] + c_lon[..., k]
+
+        # interval selection: s_lo <= s_end <= s_hi per (t, v, interval)
+        sel = (lat_valid[:, None, :]
+               & (lat[:, None, :, 0] <= s_end[:, :, None])
+               & (s_end[:, :, None] <= lat[:, None, :, 1]))         # [Nt,num,I]
+
+        # lateral lattice: num linspace slots + one slot for the inserted 0
+        # (np.unique(concat([samples, [0]])) == sorted slots with adjacent
+        # dedup; the 0-slot participates only when d_lo < 0 < d_hi)
+        d_lo, d_hi = lat[:, :, 2], lat[:, :, 3]                     # [Nt, I]
+        D = linspace_rows(d_lo, d_hi)                               # [Nt,I,num]
+        zero_slot = np.where((d_lo < 0) & (d_hi > 0), 0.0, np.inf)
+        D_all = np.concatenate([D, zero_slot[:, :, None]], axis=-1)  # [Nt,I,num+1]
+        order = np.argsort(D_all, axis=-1, kind="stable")
+        D_sorted = np.take_along_axis(D_all, order, axis=-1)
+        d_keep = np.ones_like(D_sorted, dtype=bool)
+        d_keep[:, :, 1:] = D_sorted[:, :, 1:] != D_sorted[:, :, :-1]
+        d_keep &= np.isfinite(D_sorted)
+
+        # full lattice mask [Nt, num, I, num+1] -> flat candidate compression
+        mask = (sel & v_keep[:, :, None])[..., None] & d_keep[:, None, :, :]
+        t_g = np.broadcast_to(ts[:, None, None, None], mask.shape)
+        v_g = np.broadcast_to(V[:, :, None, None], mask.shape)
+        d_g = np.broadcast_to(D_sorted[:, None, :, :], mask.shape)
+        c_lon_g = np.broadcast_to(c_lon[:, :, None, None, :],
+                                  mask.shape + (6,))
+
+        flat = mask.reshape(-1)
+        t_flat = t_g.reshape(-1)[flat]
+        v_flat = v_g.reshape(-1)[flat]
+        d_flat = d_g.reshape(-1)[flat]
+        c_lon_flat = c_lon_g.reshape(-1, 6)[flat]
+        xd_lat = np.stack([d_flat, np.zeros_like(d_flat),
+                           np.zeros_like(d_flat)], axis=-1)
+        c_lat_flat = quintic_coeffs_np(x_0_lat, xd_lat, t_flat)
+
         return CandidateBatch(
-            coeffs_lon=np.asarray(rows["c_lon"]).reshape(-1, 6),
-            coeffs_lat=np.asarray(rows["c_lat"]).reshape(-1, 6),
-            delta_tau=t_arr, delta_tau_lat=np.asarray(rows["tau_lat"]),
-            traj_len=traj_length_steps(t_arr, self.dt),
-            t_sample=t_arr, lon_sample=np.asarray(rows["lon"]),
-            d_sample=np.asarray(rows["d"]),
-            lon_x0_pos=np.full(t_arr.shape, x_0_lon[0]),
-            lon_xd_pos=np.full(t_arr.shape, np.nan))
+            coeffs_lon=c_lon_flat, coeffs_lat=c_lat_flat,
+            delta_tau=t_flat, delta_tau_lat=t_flat,
+            traj_len=traj_length_steps(t_flat, self.dt),
+            t_sample=t_flat, lon_sample=v_flat, d_sample=d_flat,
+            lon_x0_pos=np.full(t_flat.shape, x_0_lon[0]),
+            lon_xd_pos=np.full(t_flat.shape, np.nan))
 
 
 @dataclass

@@ -395,12 +395,16 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     theta_gl_move = theta_cl_move + interp_theta
     use_move = moving | low_vel
 
-    rows = []
-    hold = jnp.full((1, TILE), x0_theta, jnp.float32)
-    for c in range(T):
-        hold = jnp.where(use_move[c:c + 1, :], theta_gl_move[c:c + 1, :], hold)
-        rows.append(hold)
-    theta_gl = jnp.concatenate(rows, axis=0)
+    if "hold" in _ABLATE:                                   # timing ablation
+        theta_gl = theta_gl_move
+    else:
+        rows = []
+        hold = jnp.full((1, TILE), x0_theta, jnp.float32)
+        for c in range(T):
+            hold = jnp.where(use_move[c:c + 1, :], theta_gl_move[c:c + 1, :],
+                             hold)
+            rows.append(hold)
+        theta_gl = jnp.concatenate(rows, axis=0)
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
     one_krd = 1.0 - k_r * d
@@ -485,17 +489,20 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # (Mosaic has no cumsum lowering; T is small and static)
     incr_x = jnp.where(ext, dt * v_temp * cos_last, 0.0)
     incr_y = jnp.where(ext, dt * v_temp * sin_last, 0.0)
-    acc_x = jnp.zeros((1, TILE), jnp.float32)
-    acc_y = jnp.zeros((1, TILE), jnp.float32)
-    cum_x_rows = []
-    cum_y_rows = []
-    for c in range(T):
-        acc_x = acc_x + incr_x[c:c + 1, :]
-        acc_y = acc_y + incr_y[c:c + 1, :]
-        cum_x_rows.append(acc_x)
-        cum_y_rows.append(acc_y)
-    cum_x = jnp.concatenate(cum_x_rows, axis=0)
-    cum_y = jnp.concatenate(cum_y_rows, axis=0)
+    if "enlarge" in _ABLATE:                                # timing ablation
+        cum_x, cum_y = incr_x, incr_y
+    else:
+        acc_x = jnp.zeros((1, TILE), jnp.float32)
+        acc_y = jnp.zeros((1, TILE), jnp.float32)
+        cum_x_rows = []
+        cum_y_rows = []
+        for c in range(T):
+            acc_x = acc_x + incr_x[c:c + 1, :]
+            acc_y = acc_y + incr_y[c:c + 1, :]
+            cum_x_rows.append(acc_x)
+            cum_y_rows.append(acc_y)
+        cum_x = jnp.concatenate(cum_x_rows, axis=0)
+        cum_y = jnp.concatenate(cum_y_rows, axis=0)
     ego_x = jnp.where(ext, take_last(ego_x) + cum_x, ego_x)
     ego_y = jnp.where(ext, take_last(ego_y) + cum_y, ego_y)
     v = jnp.where(ext, v_temp, v)

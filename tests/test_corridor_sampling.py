@@ -100,3 +100,91 @@ def test_continuous_collision_flag(repo_root):
     planner.set_desired_velocity(current_speed=planner.x_0.velocity)
     result = planner.plan()
     assert result is not None
+
+
+def _reference_corridor_batch(space, level, x_0_lon, x_0_lat):
+    """The reference's per-candidate triple loop (sampling.py:340-397) —
+    golden generator for the vectorized production implementation."""
+    from commonroad_rp_tpu.models.sampling import (CandidateBatch,
+                                                   quartic_coeffs_np,
+                                                   quintic_coeffs_np,
+                                                   traj_length_steps)
+    x_0_lon = np.asarray(x_0_lon, dtype=np.float64)
+    x_0_lat = np.asarray(x_0_lat, dtype=np.float64)
+    num = space._num_samples[level]
+    corridor = space.driving_corridor
+    rows = {k: [] for k in ("c_lon", "c_lat", "t", "lon", "d")}
+    for t in space.samples_t.samples_at_level(level):
+        time_step = round(t / space.dt) + corridor.first_step
+        v_lo, v_hi = corridor.velocity_interval(time_step)
+        for v in np.unique(np.linspace(v_lo, v_hi, num)):
+            c_lon = quartic_coeffs_np(x_0_lon, np.float64(v), np.float64(t))
+            s_end = float(np.polyval(c_lon[::-1], t))
+            for d_lo, d_hi in corridor.lateral_intervals(time_step, s_end):
+                d_samples = np.unique(np.linspace(d_lo, d_hi, num))
+                if d_lo < 0 < d_hi:
+                    d_samples = np.unique(np.concatenate([d_samples, [0.0]]))
+                for d in d_samples:
+                    c_lat = quintic_coeffs_np(
+                        x_0_lat, np.array([d, 0.0, 0.0]), np.float64(t))
+                    rows["c_lon"].append(c_lon)
+                    rows["c_lat"].append(c_lat)
+                    rows["t"].append(t)
+                    rows["lon"].append(v)
+                    rows["d"].append(d)
+    t_arr = np.asarray(rows["t"])
+    return CandidateBatch(
+        coeffs_lon=np.asarray(rows["c_lon"]).reshape(-1, 6),
+        coeffs_lat=np.asarray(rows["c_lat"]).reshape(-1, 6),
+        delta_tau=t_arr, delta_tau_lat=t_arr,
+        traj_len=traj_length_steps(t_arr, space.dt),
+        t_sample=t_arr, lon_sample=np.asarray(rows["lon"]),
+        d_sample=np.asarray(rows["d"]),
+        lon_x0_pos=np.full(t_arr.shape, x_0_lon[0]),
+        lon_xd_pos=np.full(t_arr.shape, np.nan))
+
+
+@pytest.mark.fast
+def test_corridor_sampling_vectorized_matches_loop(repo_root):
+    """The broadcasted corridor grid reproduces the per-candidate loop
+    BIT-FOR-BIT: same candidate set, same order, same coefficients —
+    including multi-interval steps, zero-insertion, and degenerate windows.
+    Coefficients are compared at 1 ulp: numpy's SCALAR ``T**4`` and ARRAY
+    ``T**4`` (pow loop vs scalar pow) differ in the last bit, an irreducible
+    vectorization artifact (measured: 0x...23f vs 0x...23e for T=1.4)."""
+    planner = _base_planner(repo_root, sampling_method=2)
+    x0_lon, x0_lat = planner.x_0_cl
+    space = planner.sampling_space
+    s0, v0 = float(np.asarray(x0_lon)[0]), planner.x_0.velocity
+
+    # adversarial corridor: two disjoint lateral intervals (one spanning 0,
+    # one not), a degenerate velocity window at some steps, per-step variation
+    vel, lat = {}, {}
+    for step in range(60):
+        if step % 7 == 3:
+            vel[step] = (v0, v0)                       # degenerate window
+        else:
+            vel[step] = (max(0.0, v0 - 4.0 - 0.05 * step), v0 + 3.0)
+        span = (s0 - 10.0, s0 + 250.0)
+        lat[step] = [(span[0], span[1], -2.5, 1.5),
+                     (span[0], span[1], 2.0, 3.0 + 0.01 * step)]
+        if step % 5 == 0:
+            lat[step].append((s0 + 30.0, s0 + 60.0, -4.0, -3.0))
+    space.driving_corridor = DrivingCorridor(
+        first_step=0, velocity_intervals=vel, lateral_interval_map=lat)
+
+    for level in range(space.num_sampling_levels):
+        got = space.generate_trajectories_at_level(
+            level, np.asarray(x0_lon), np.asarray(x0_lat),
+            "velocity_keeping", False)
+        want = _reference_corridor_batch(space, level, x0_lon, x0_lat)
+        assert got.size == want.size, f"level {level}"
+        for field in ("delta_tau", "traj_len", "t_sample", "lon_sample",
+                      "d_sample", "lon_x0_pos"):
+            np.testing.assert_array_equal(
+                getattr(got, field), getattr(want, field),
+                err_msg=f"level {level}: {field}")
+        for field in ("coeffs_lon", "coeffs_lat"):
+            np.testing.assert_allclose(
+                getattr(got, field), getattr(want, field),
+                rtol=5e-16, atol=0.0, err_msg=f"level {level}: {field}")
