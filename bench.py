@@ -156,7 +156,7 @@ def main():
         "pallas_fleet_config": "128 problems x 10 cycles per call",
         "headline_runs": None,
         "pallas_t61_evals_per_sec": None,
-        "t61_config": "K=5202, horizon 6 s (default N=60 config)",
+        "t61_config": "K=8874, horizon 6 s (default N=60 config)",
         "plan_scan_cycle_ms": None,
         "fleet1024_evals_per_sec": None,
         "fleet1024_goal_reached": None,
@@ -195,10 +195,14 @@ def main():
         n_scan = 20
 
         def body(v, _):
+            span = grid_ops.candidate_lon_span(
+                carry.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), static_grid, 0.1, n_steps)
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps)
+                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                n_steps=n_steps)
             return v + dtype(0.001), jnp.min(costs)
 
         raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None, length=n_scan))
@@ -252,10 +256,15 @@ def main():
         n_scan = 150
 
         def body(v, _):
+            # per-cycle span like the production scan paths (the lattice
+            # bounds replace the scorer's dense [K, T] window prelude)
+            span = grid_ops.candidate_lon_span(
+                carry61.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid61, 0.1, n61)
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry61.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, n_steps=n61)
+                dtype(0.0), dtype(5.0), ref_s_last, span=span, n_steps=n61)
             return v + dtype(0.001), jnp.min(costs)
 
         raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None, length=n_scan))

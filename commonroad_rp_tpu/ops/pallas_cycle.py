@@ -56,6 +56,12 @@ _NUM_COLS = 12
 # kernel is row-count-proportional); exactness is preserved by the lax.cond
 # full-table fallback in _score_candidates_pallas
 _WINDOW_ROWS = 256
+# long horizons (T > 32, e.g. the reference's default 6 s config) use a
+# tighter window: the [P, TILE] compares are sublane-proportional in P and
+# at T = 61 the table ops are ~48% of the launch (hardware ablation
+# 2026-08-20); 192 rows still cover the default config's ~160 m span
+# (the lax.cond fallback keeps faster fleets exact on the full table)
+_WINDOW_ROWS_LONG = 192
 _OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
 
 # scalar-parameter slots (SMEM row)
@@ -665,7 +671,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             veh: VehicleArrays,
                             x0_orientation, dt: float,
                             low_vel, desired_speed, desired_d, w_a,
-                            ref_s_last=None, desired_s=None,
+                            ref_s_last=None, desired_s=None, span=None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False,
@@ -681,6 +687,12 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     kin_costs; colliding = finite in kin_costs but inf in masked_costs;
     the lazy-iteration collision count = colliding & kin_cost < winner cost)
     without reading back any [K, T] state arrays.
+
+    ``span``: optional (lo, hi) traced scalars — a SOUND arclength span of
+    the candidate set incl. the enlarge extension (grid.candidate_lon_span).
+    When provided, the dense [K, T] window-bounds prelude is skipped
+    (hardware-measured at 31% of a T=61 launch); exactness is independent
+    of the bounds via the lax.cond full-table fallback.
     """
     dtype = jnp.float32
     K = coeffs_lon.shape[0]
@@ -794,9 +806,11 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
 
     # hardware-measured 2026-08-19: halving the window for short horizons
     # gains nothing (37.3M vs 37.2M at T=21) — at 256 rows the kernel is no
-    # longer table-dominated; keep one size (tests monkeypatch _WINDOW_ROWS
-    # huge to force the full-table path)
-    W = _WINDOW_ROWS
+    # longer table-dominated there; LONG horizons (T > 32) are
+    # table-dominated (48% at T=61, ablation 2026-08-20) and use the tighter
+    # 192-row window (tests monkeypatch _WINDOW_ROWS/_WINDOW_ROWS_LONG huge
+    # to force the full-table path)
+    W = _WINDOW_ROWS if T <= 32 else _WINDOW_ROWS_LONG
     if P <= W:
         out = call_kernel(table)
     else:
@@ -804,35 +818,43 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         # Every per-step table query (gather + the three corridor probes)
         # is P-proportional work inside the kernel; candidates only touch
         # the arclength range their rollouts reach, so slice a fixed
-        # W-row window around it (bounds from a cheap dense XLA
-        # eval of the longitudinal polynomials, incl. the constant-velocity
-        # enlarge extension and the probe extent margin) and fall back to
-        # the full table via lax.cond when the window cannot cover the
-        # span.  Window rows are contiguous original rows, so the interval
-        # one-hot, the pair interpolation, and the band prefix telescoping
-        # are bit-identical to the full-table gathers; window_ok excludes
-        # the window's final row so its wrapped "next row" is never read.
-        c = coeffs_lon.astype(dtype)                           # [K, 6]
-        tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, :]
-        s_all = (((((c[:, 5:6] * tq + c[:, 4:5]) * tq + c[:, 3:4]) * tq
-                   + c[:, 2:3]) * tq + c[:, 1:2]) * tq + c[:, 0:1])
-        lens = traj_len.astype(jnp.int32)
-        act = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
-        s_act_min = jnp.min(jnp.where(act, s_all, jnp.inf))
-        s_act_max = jnp.max(jnp.where(act, s_all, -jnp.inf))
-        tau_last = (lens - 1).astype(dtype) * dtype(dt)        # [K]
-        sl = ((((c[:, 5] * tau_last + c[:, 4]) * tau_last + c[:, 3])
-               * tau_last + c[:, 2]) * tau_last + c[:, 1]) * tau_last + c[:, 0]
-        sd = (((5.0 * c[:, 5] * tau_last + 4.0 * c[:, 4]) * tau_last
-               + 3.0 * c[:, 3]) * tau_last + 2.0 * c[:, 2]) * tau_last + c[:, 1]
-        t_ext = (T - lens).astype(dtype) * dtype(dt)
-        s_ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0))
-        s_ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0))
+        # W-row window around it (bounds from the caller's ``span`` — the
+        # exact lattice evaluation in grid.candidate_lon_span — or a dense
+        # XLA eval of the longitudinal polynomials, incl. the
+        # constant-velocity enlarge extension and the probe extent margin)
+        # and fall back to the full table via lax.cond when the window
+        # cannot cover the span.  Window rows are contiguous original rows,
+        # so the interval one-hot, the pair interpolation, and the band
+        # prefix telescoping are bit-identical to the full-table gathers;
+        # window_ok excludes the window's final row so its wrapped
+        # "next row" is never read.
         margin = (jnp.asarray(veh.wb_rear_axle, dtype)
                   + jnp.asarray(veh.half_length, dtype)
                   + jnp.asarray(veh.half_width, dtype) + dtype(1.0))
-        qmin = jnp.minimum(s_act_min, s_ext_lo) - margin
-        qmax = jnp.maximum(s_act_max, s_ext_hi) + margin
+        if span is not None:
+            qmin = jnp.asarray(span[0], dtype) - margin
+            qmax = jnp.asarray(span[1], dtype) + margin
+        else:
+            c = coeffs_lon.astype(dtype)                       # [K, 6]
+            tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, :]
+            s_all = (((((c[:, 5:6] * tq + c[:, 4:5]) * tq + c[:, 3:4]) * tq
+                       + c[:, 2:3]) * tq + c[:, 1:2]) * tq + c[:, 0:1])
+            lens = traj_len.astype(jnp.int32)
+            act = jnp.arange(T, dtype=jnp.int32)[None, :] < lens[:, None]
+            s_act_min = jnp.min(jnp.where(act, s_all, jnp.inf))
+            s_act_max = jnp.max(jnp.where(act, s_all, -jnp.inf))
+            tau_last = (lens - 1).astype(dtype) * dtype(dt)    # [K]
+            sl = ((((c[:, 5] * tau_last + c[:, 4]) * tau_last + c[:, 3])
+                   * tau_last + c[:, 2]) * tau_last + c[:, 1]) * tau_last \
+                + c[:, 0]
+            sd = (((5.0 * c[:, 5] * tau_last + 4.0 * c[:, 4]) * tau_last
+                   + 3.0 * c[:, 3]) * tau_last + 2.0 * c[:, 2]) * tau_last \
+                + c[:, 1]
+            t_ext = (T - lens).astype(dtype) * dtype(dt)
+            s_ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0))
+            s_ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0))
+            qmin = jnp.minimum(s_act_min, s_ext_lo) - margin
+            qmax = jnp.maximum(s_act_max, s_ext_hi) + margin
 
         s_col_full = table[:, 0]
         i0 = jnp.clip(jnp.sum(s_col_full <= qmin).astype(jnp.int32) - 1,
@@ -871,6 +893,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         desired_s: jnp.ndarray | None = None,
                         obs_radius: jnp.ndarray | None = None,
                         poly_table: jnp.ndarray | None = None,
+                        span: jnp.ndarray | None = None,
                         *, n_steps: int,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
@@ -1005,36 +1028,44 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             interpret=interpret,
         )(scal_tab, cl, ca, tl, gv, tabs, pair_stack, band, obs, poly)
 
-    W = _WINDOW_ROWS
+    W = _WINDOW_ROWS if T <= 32 else _WINDOW_ROWS_LONG
     if P <= W:
         out = call_kernel(tables)
     else:
         # per-problem dynamic table windows (see _score_candidates_pallas;
-        # bounds from a dense XLA eval of the lon polynomials, lax.cond
-        # full-table fallback keeps exactness when any problem's span
-        # cannot fit W contiguous rows)
-        c = coeffs_lon.astype(dtype)                         # [F, K, 6]
-        tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, None, :]
-        s_all = (((((c[..., 5:6] * tq + c[..., 4:5]) * tq + c[..., 3:4]) * tq
-                   + c[..., 2:3]) * tq + c[..., 1:2]) * tq + c[..., 0:1])
-        lens = traj_len.astype(jnp.int32)                    # [F, K]
-        act = jnp.arange(T, dtype=jnp.int32)[None, None, :] < lens[..., None]
-        s_min_f = jnp.min(jnp.where(act, s_all, jnp.inf), axis=(1, 2))
-        s_max_f = jnp.max(jnp.where(act, s_all, -jnp.inf), axis=(1, 2))
-        tau_last = (lens - 1).astype(dtype) * dtype(dt)      # [F, K]
-        sl = ((((c[..., 5] * tau_last + c[..., 4]) * tau_last + c[..., 3])
-               * tau_last + c[..., 2]) * tau_last + c[..., 1]) * tau_last \
-            + c[..., 0]
-        sd = (((5.0 * c[..., 5] * tau_last + 4.0 * c[..., 4]) * tau_last
-               + 3.0 * c[..., 3]) * tau_last + 2.0 * c[..., 2]) * tau_last \
-            + c[..., 1]
-        t_ext = (T - lens).astype(dtype) * dtype(dt)
-        ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0), axis=1)
-        ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0), axis=1)
+        # bounds from the caller's per-problem ``span`` [F, 2] or a dense
+        # XLA eval of the lon polynomials; lax.cond full-table fallback
+        # keeps exactness when any problem's span cannot fit W contiguous
+        # rows)
         margin = (veh_stack[:, 1] + veh_stack[:, 6] + veh_stack[:, 7]
                   + dtype(1.0))                              # [F]
-        qmin = jnp.minimum(s_min_f, ext_lo) - margin
-        qmax = jnp.maximum(s_max_f, ext_hi) + margin
+        if span is not None:
+            qmin = span[:, 0].astype(dtype) - margin
+            qmax = span[:, 1].astype(dtype) + margin
+        else:
+            c = coeffs_lon.astype(dtype)                     # [F, K, 6]
+            tq = (jnp.arange(T, dtype=dtype) * dtype(dt))[None, None, :]
+            s_all = (((((c[..., 5:6] * tq + c[..., 4:5]) * tq
+                        + c[..., 3:4]) * tq
+                       + c[..., 2:3]) * tq + c[..., 1:2]) * tq + c[..., 0:1])
+            lens = traj_len.astype(jnp.int32)                # [F, K]
+            act = jnp.arange(T, dtype=jnp.int32)[None, None, :] \
+                < lens[..., None]
+            s_min_f = jnp.min(jnp.where(act, s_all, jnp.inf), axis=(1, 2))
+            s_max_f = jnp.max(jnp.where(act, s_all, -jnp.inf), axis=(1, 2))
+            tau_last = (lens - 1).astype(dtype) * dtype(dt)  # [F, K]
+            sl = ((((c[..., 5] * tau_last + c[..., 4]) * tau_last
+                    + c[..., 3])
+                   * tau_last + c[..., 2]) * tau_last + c[..., 1]) \
+                * tau_last + c[..., 0]
+            sd = (((5.0 * c[..., 5] * tau_last + 4.0 * c[..., 4]) * tau_last
+                   + 3.0 * c[..., 3]) * tau_last + 2.0 * c[..., 2]) \
+                * tau_last + c[..., 1]
+            t_ext = (T - lens).astype(dtype) * dtype(dt)
+            ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0), axis=1)
+            ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0), axis=1)
+            qmin = jnp.minimum(s_min_f, ext_lo) - margin
+            qmax = jnp.maximum(s_max_f, ext_hi) + margin
 
         s_cols = tables[:, :, 0]                             # [F, P]
         i0 = jnp.clip(jnp.sum(s_cols <= qmin[:, None],

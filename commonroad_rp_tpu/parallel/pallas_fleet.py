@@ -64,6 +64,8 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         cl, ca, tl = grid_ops.velocity_keeping_candidates(
             carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, static_grid)
         K = cl.shape[0]
+        span = grid_ops.candidate_lon_span(carry.x0_lon, v_min, v_max,
+                                           static_grid, dt, n_steps)
 
         if M:
             window_pose = jax.lax.dynamic_slice_in_dim(
@@ -88,7 +90,7 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         costs, _, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
             carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
-            dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps,
+            dtype(0.0), dtype(5.0), ref_s_last, span=span, n_steps=n_steps,
             interpret=interpret)
         best = jnp.argmin(costs)
         found = jnp.isfinite(costs[best])
@@ -201,6 +203,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                 in_axes=(0, 0, 0, 0, 0, None))(
                     carry.x0_lon, carry.x0_lat, s_win[:, 0], s_win[:, 1],
                     low_vel, static_grid)
+            lon_lo, lon_hi = s_win[:, 0], s_win[:, 1]
         else:
             cl, ca, tl = jax.vmap(
                 grid_ops.velocity_keeping_candidates,
@@ -208,7 +211,13 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                     carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel,
                     static_grid)
             gv = jnp.ones(cl.shape[:2], dtype=bool)
+            lon_lo, lon_hi = v_min, v_max
         K = cl.shape[1]
+        span_lo, span_hi = jax.vmap(
+            lambda x0, lo, hi: grid_ops.candidate_lon_span(
+                x0, lo, hi, static_grid, dt, n_steps,
+                stopping=stopping))(carry.x0_lon, lon_lo, lon_hi)
+        span = jnp.stack([span_lo, span_hi], axis=1)           # [F, 2]
 
         def window(pose, valid, step):
             wp = jax.lax.dynamic_slice_in_dim(pose, step, T, axis=1)
@@ -245,7 +254,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             desired_s=None if not stopping
             else jnp.asarray(desired_s, dtype),
             obs_radius=scene.obs_radius.astype(dtype),
-            poly_table=poly_table,
+            poly_table=poly_table, span=span,
             n_steps=n_steps, has_desired_s=stopping,
             interpret=interpret)                           # [F, K] each
 
@@ -485,16 +494,25 @@ def make_facade_replanning_scan(ref: RefPathTables,
         low_vel = carry.velocity < low_vel_threshold
 
         cls, cas, tls, gvs = [], [], [], []
+        span_lo = span_hi = None
         for g, app in zip(static_grids, appended):
             if stopping:
                 cl, ca, tl, gv_goal = grid_ops.stopping_candidates(
                     carry.x0_lon, carry.x0_lat,
                     jnp.asarray(s_window[0], dtype),
                     jnp.asarray(s_window[1], dtype), low_vel, g)
+                lon_lo = jnp.asarray(s_window[0], dtype)
+                lon_hi = jnp.asarray(s_window[1], dtype)
             else:
                 cl, ca, tl = grid_ops.velocity_keeping_candidates(
                     carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
                 gv_goal = True
+                lon_lo, lon_hi = v_min, v_max
+            lo_g, hi_g = grid_ops.candidate_lon_span(
+                carry.x0_lon, lon_lo, lon_hi, g, dt, n_steps,
+                stopping=stopping)
+            span_lo = lo_g if span_lo is None else jnp.minimum(span_lo, lo_g)
+            span_hi = hi_g if span_hi is None else jnp.maximum(span_hi, hi_g)
             dup = jnp.any(jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
             gvs.append(~(jnp.asarray(app) & dup) & gv_goal)
             cls.append(cl)
@@ -534,6 +552,7 @@ def make_facade_replanning_scan(ref: RefPathTables,
             jnp.asarray(desired_d, dtype), jnp.asarray(w_a, dtype),
             ref_s_last,
             desired_s=None if not stopping else jnp.asarray(desired_s, dtype),
+            span=(span_lo, span_hi),
             n_steps=n_steps, check_flags=constraint_flags,
             interpret=interpret)
 

@@ -81,11 +81,15 @@ def main():
     checks = None
     for tile in (int(t) for t in args.tiles.split(",")):
         def body(v, _, tile=tile):
+            # per-cycle lattice span like the production scan paths
+            span = grid_ops.candidate_lon_span(
+                carry.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid, 0.1, n_steps)
             costs, kin, reason = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, gv, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps,
-                tile_k=tile)
+                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                n_steps=n_steps, tile_k=tile)
             return v + dtype(0.001), (jnp.min(costs), jnp.argmin(costs),
                                       jnp.sum(jnp.isfinite(kin)),
                                       jnp.sum(reason))

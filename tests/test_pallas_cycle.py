@@ -276,3 +276,41 @@ def test_windowed_gathers_match_full_table(monkeypatch):
     assert (np.asarray(cfg["tl"]) < cfg["n_steps"] + 1).any()
     assert np.isfinite(windowed[0]).any()
     assert not np.isnan(windowed[0]).any()
+
+
+def test_caller_span_matches_dense_prelude():
+    """Caller-supplied window bounds (grid.candidate_lon_span lattice) must
+    reproduce the dense [K, T] prelude's scoring bitwise — deep start so the
+    window path is active, incl. short candidates (enlarge extension)."""
+    cfg = _setup(level=2)
+    packed = pallas_cycle.pack_ref_tables(cfg["ref"], cfg["corridor"])
+    assert packed.shape[0] > pallas_cycle._WINDOW_ROWS
+
+    static_grid = grid_ops.make_static_grid(2, 0.4, cfg["n_steps"] * cfg["dt"],
+                                            cfg["dt"], -3.0, 3.0, 4)
+    x0_lon = jnp.asarray([40.0, 15.0, 0.2], jnp.float32)
+    span = grid_ops.candidate_lon_span(
+        x0_lon, jnp.asarray(11.0, jnp.float32), jnp.asarray(19.0, jnp.float32),
+        static_grid, cfg["dt"], cfg["n_steps"])
+
+    def run(span_arg):
+        masked, kin, reasons = pallas_cycle.score_candidates_pallas(
+            cfg["cl"], cfg["ca"], cfg["tl"],
+            jnp.ones(cfg["cl"].shape[0], dtype=bool), packed,
+            cfg["obstacles"], cfg["veh"], cfg["x0_theta"], cfg["dt"],
+            cfg["low_vel"], cfg["desired_v"], jnp.float32(0.0),
+            jnp.float32(5.0), span=span_arg, n_steps=cfg["n_steps"],
+            interpret=True)
+        return [np.asarray(x) for x in (masked, kin, reasons)]
+
+    with_span = run(span)
+    dense = run(None)
+    for name, a, b in zip(("masked", "kin", "reason"), with_span, dense):
+        assert np.array_equal(a, b, equal_nan=True), name
+    assert np.isfinite(with_span[0]).any()
+
+    # a hopelessly tight span must fall back to the full table, not corrupt
+    bogus = (jnp.float32(-1e5), jnp.float32(1e5))
+    fallback = run(bogus)
+    for name, a, b in zip(("masked", "kin", "reason"), fallback, dense):
+        assert np.array_equal(a, b, equal_nan=True), name
