@@ -183,6 +183,7 @@ def main():
         corridor1 = collision_ops.CorridorArrays(
             d_lo=scene.corridor_lo[0], d_hi=scene.corridor_hi[0])
         packed = pallas_cycle.pack_ref_tables(ref1, corridor1)
+        pre = pallas_cycle.precompute_scorer_tables(packed)
         ref_s_last = pallas_cycle.true_path_length(ref1)
         obstacles1 = collision_ops.ObstacleArrays(
             pose=scene.obs_pose[0, :, :n_steps + 1],
@@ -201,7 +202,7 @@ def main():
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
                 n_steps=n_steps)
             return v + dtype(0.001), jnp.min(costs)
 
@@ -241,6 +242,7 @@ def main():
         corridor1 = collision_ops.CorridorArrays(
             d_lo=scene61.corridor_lo[0], d_hi=scene61.corridor_hi[0])
         packed = pallas_cycle.pack_ref_tables(ref1, corridor1)
+        pre = pallas_cycle.precompute_scorer_tables(packed)
         ref_s_last = pallas_cycle.true_path_length(ref1)
         obstacles1 = collision_ops.ObstacleArrays(
             pose=scene61.obs_pose[0, :, :n61 + 1],
@@ -264,7 +266,7 @@ def main():
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry61.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, span=span, n_steps=n61)
+                dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre, n_steps=n61)
             return v + dtype(0.001), jnp.min(costs)
 
         raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None, length=n_scan))

@@ -200,6 +200,37 @@ class ReactivePlanner:
             return True
         return False
 
+    def goal_center_s(self) -> Optional[float]:
+        """Arclength of the goal region's center on the current reference
+        path, or None when the goal has no position constraint.
+
+        Composition helper for stop-at-goal missions: the reference's two
+        longitudinal modes chained into one run (velocity-keeping to the
+        goal, then ``set_desired_lon_position(goal_center_s())`` + stopping
+        mode — reactive_planner.py:349-376 + run_planner.py:61-107).
+        """
+        assert self._co is not None, "set_reference_path first"
+        goal = self.config.planning_problem.goal
+        centers = []
+        for gs in goal.state_list:
+            for shape in gs.position_shapes:
+                center = getattr(shape, "center", None)
+                if center is None and hasattr(shape, "vertices"):
+                    center = np.mean(np.asarray(shape.vertices), axis=0)
+                if center is not None:
+                    centers.append(np.asarray(center, dtype=float))
+            for lanelet_id in gs.position_lanelets:
+                lanelet = self.config.scenario.lanelet_network \
+                    .find_lanelet_by_id(lanelet_id)
+                if lanelet is not None:
+                    cv = lanelet.center_vertices
+                    centers.append(np.asarray(cv[len(cv) // 2], dtype=float))
+        if not centers:
+            return None
+        center = np.mean(np.stack(centers), axis=0)
+        s, _ = self._co.convert_to_curvilinear_coords(center[0], center[1])
+        return float(s)
+
     def reset(self, config: ReactivePlannerConfiguration = None,
               initial_state_cart: ReactivePlannerState = None,
               initial_state_curv: Tuple[List, List] = None,
@@ -519,15 +550,23 @@ class ReactivePlanner:
                 getattr(cf, "desired_speed", None) or 0.0, dtype),
             desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
 
-        fast_ok = (self.config.debug.fast_scoring
-                   and self._dtype == jnp.float32
-                   and not self._draw_traj_set
+        # kernel_ok: the fused Pallas scorer applies at all (float32 layout,
+        # default cost with a speed target).  fast_ok additionally excludes
+        # the modes the KERNEL cannot mask densely (continuous swept pass,
+        # exact segment boundary) — plan_scan still accepts those via its
+        # lazy winner-refinement loop (pallas_fleet.make_facade_replanning_
+        # scan), while the per-cycle fused plan() path falls back to XLA
+        kernel_ok = (self.config.debug.fast_scoring
+                     and self._dtype == jnp.float32
+                     and not self._draw_traj_set
+                     and cf.structure[0] == "default" and cf.structure[1])
+        fast_ok = (kernel_ok
                    and not self.config.planning.continuous_collision_check
-                   and boundary_mode in ("corridor", "none")
-                   and cf.structure[0] == "default" and cf.structure[1])
+                   and boundary_mode in ("corridor", "none"))
         return dict(veh=veh, obstacles=obstacles, boundary=boundary,
                     boundary_mode=boundary_mode, corridor=corridor,
-                    flags=flags, cost_params=cost_params, fast_ok=fast_ok)
+                    flags=flags, cost_params=cost_params, fast_ok=fast_ok,
+                    kernel_ok=kernel_ok)
 
     def _goal_valid_mask(self, batch: CandidateBatch) -> np.ndarray:
         """filter_goals_behind in stopping mode (:1076-1077)."""
@@ -536,7 +575,8 @@ class ReactivePlanner:
                             batch.lon_x0_pos < batch.lon_xd_pos)
         return np.ones(batch.size, dtype=bool)
 
-    def plan_scan(self, n_cycles: int, record: bool = True) -> dict:
+    def plan_scan(self, n_cycles: int, record: bool = True,
+                  stop_on_goal: bool = True) -> dict:
         """Device-resident multi-cycle replanning: the reference driver's
         cyclic loop (run_planner.py:61-107) as ONE device dispatch.
 
@@ -576,10 +616,9 @@ class ReactivePlanner:
             self.x_0.velocity < self.config.planning.low_vel_mode_threshold
 
         ctx = self._scene_context()
-        if not ctx["fast_ok"]:
-            raise ValueError("plan_scan requires the fast-path scope "
+        if not ctx["kernel_ok"]:
+            raise ValueError("plan_scan requires the fused-kernel scope "
                              "(debug.fast_scoring, float32 kernels, "
-                             "corridor/none boundary, "
                              "default cost with speed target)")
         longitudinal_mode = self.config.sampling.longitudinal_mode
         if longitudinal_mode not in ("velocity_keeping", "stopping"):
@@ -589,8 +628,11 @@ class ReactivePlanner:
         if stopping and self._desired_lon_position is None:
             raise ValueError("stopping mode: call set_desired_lon_position() "
                              "before plan_scan")
-        if self.config.planning.factor != 1:
-            raise ValueError("plan_scan supports planning.factor == 1")
+        factor = self.config.planning.factor
+        if self.x_0.time_step % factor != 0:
+            raise ValueError(f"plan_scan: initial time_step "
+                             f"{self.x_0.time_step} must be divisible by "
+                             f"planning.factor {factor}")
         if self._desired_speed is None:
             raise ValueError("call set_desired_velocity() before plan_scan")
         desired_s = float(self._desired_lon_position) if stopping else None
@@ -606,11 +648,13 @@ class ReactivePlanner:
                                       cs.num_sampling_levels)
             for level in range(1, self.sampling_level))
 
-        # full-span obstacle tables: every scenario step the scan can touch
+        # full-span obstacle tables: every scenario step the scan can touch,
+        # sampled at planning.factor stride (one table row per PLANNED step,
+        # reference reactive_planner.py:1032 scaling)
         freq = self.config.planning.replanning_frequency
-        span = self.x_0.time_step + n_cycles * freq + self.N + 1
+        span = self.x_0.time_step // factor + n_cycles * freq + self.N + 1
         obstacles_full = collision_ops.compile_obstacles(
-            self._cc.scenario, 0, span, 1, dtype=jnp.float32)
+            self._cc.scenario, 0, span, factor, dtype=jnp.float32)
         corridor = self._corridor_or_unbounded(ctx["corridor"])
 
         cf = self.cost_function
@@ -620,11 +664,15 @@ class ReactivePlanner:
         # compare + a strong ref): an id() key could alias a NEW object
         # allocated at a freed one's address
         lookahead = min(self._standstill_lookahead, self.N)
+        # desired_speed is a TRACED input of the scan (not in the key):
+        # velocity-tracking missions change it per dispatch without retrace
+        boundary_mode = ctx["boundary_mode"]
+        continuous = self.config.planning.continuous_collision_check
         cache_key = (n_cycles, freq, self.N, span, self._co,
-                     float(self._desired_speed),
                      float(getattr(cf, "w_a", 5.0)),
                      float(getattr(cf, "desired_d", 0.0)), ctx["flags"],
-                     longitudinal_mode, desired_s, s_window, lookahead)
+                     longitudinal_mode, desired_s, s_window, lookahead,
+                     factor, boundary_mode, continuous)
         cache = getattr(self, "_plan_scan_cache", None)
         if cache is None:
             from collections import OrderedDict
@@ -641,7 +689,10 @@ class ReactivePlanner:
                 float(getattr(cf, "desired_d", 0.0)), ctx["flags"], n_cycles,
                 interpret=_jax.default_backend() != "tpu",
                 longitudinal_mode=longitudinal_mode, desired_s=desired_s,
-                s_window=s_window, standstill_lookahead=lookahead)
+                s_window=s_window, standstill_lookahead=lookahead,
+                boundary=ctx["boundary"] if boundary_mode == "segments"
+                else None,
+                continuous=continuous)
             # LRU over the last few built scans: mode-alternating missions
             # (velocity-keeping <-> stopping) must not retrace per switch
             cache[cache_key] = run
@@ -657,14 +708,16 @@ class ReactivePlanner:
             x0_lat=jnp.asarray(np.asarray(x0_lat), jnp.float32),
             orientation=jnp.asarray(self.x_0.orientation, jnp.float32),
             velocity=jnp.asarray(self.x_0.velocity, jnp.float32),
-            time_step=jnp.asarray(self.x_0.time_step, jnp.int32),
+            # the scan indexes obstacle tables in PLANNED steps (tables are
+            # factor-strided); scenario steps = planned * factor
+            time_step=jnp.asarray(self.x_0.time_step // factor, jnp.int32),
             alive=jnp.asarray(True),
             kappa=jnp.asarray(kappa_0, jnp.float32),
             px=jnp.asarray(self.x_0.position[0], jnp.float32),
             py=jnp.asarray(self.x_0.position[1], jnp.float32))
 
         t0 = time.time()
-        final_carry, metrics = run(carry)
+        final_carry, metrics = run(carry, float(self._desired_speed))
         found, best_cost, n_inf_kin, n_coll, states = _jax.device_get(metrics)
         wall = time.time() - t0
         self.stage_timers.record("device_scan", wall)
@@ -692,7 +745,9 @@ class ReactivePlanner:
                 steps += 1
                 theta = float(arr[9, offset])
                 state = ReactivePlannerState(
-                    time_step=t_start + (c * freq) + offset,
+                    # scenario steps advance factor per planned step
+                    # (reactive_planner.py:1032)
+                    time_step=t_start + factor * ((c * freq) + offset),
                     position=np.array([arr[7, offset], arr[8, offset]]),
                     orientation=theta,
                     velocity=float(arr[10, offset]),
@@ -707,9 +762,13 @@ class ReactivePlanner:
                     self.record_state_and_input(state)
                 shifted = state.shift_positions_to_center(wb)
                 if goal.is_reached(shifted):
+                    # stop_on_goal=False keeps driving (stop-at-goal
+                    # missions: the scan must continue INSIDE the goal
+                    # region until the stopping mode halts the vehicle)
                     goal_reached = True
-                    break
-            if goal_reached:
+                    if stop_on_goal:
+                        break
+            if goal_reached and stop_on_goal:
                 break
 
         if record and last_state is not None:

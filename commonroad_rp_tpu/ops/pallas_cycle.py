@@ -21,6 +21,7 @@ Packed reference-table columns (``pack_ref_tables``):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 # Timing-ablation sections for kernel profiling scripts ONLY.  Always empty
 # on the production import path (no env hook); an instrumented bench must
@@ -42,12 +43,17 @@ _TILE_K = 128   # short-horizon default. Hardware sweeps 2026-08-19: at T=21
                 # 128 beats 256/512 by 13-25% (smaller VMEM working set
                 # pipelines better across the grid); at T=61 256 beats 128
                 # by ~5-18% — the scorers switch to 256 for T > 32.
-# steps per gather matmul. Values > 1 would batch C steps' queries into one
-# [16, P] x [P, C*TILE] MXU op (C-fold fewer invocations, interpret-mode
-# exact), but Mosaic cannot lower the lane-axis query concat as of this
-# toolchain: "Not implemented: result/input offset mismatch on non-concat
-# dimension" (measured 2026-08-18). Keep 1 until the lowering lands.
+# steps per gather matmul: C steps' queries batch into one
+# [48, P] x [P, C*TILE] MXU op — C-fold fewer op invocations, bitwise
+# identical (dot columns are independent; same one-hot rows, same
+# accumulation order along P).  The round-3 lane-axis CONCAT of the query
+# rows had no Mosaic lowering ("result/input offset mismatch on non-concat
+# dimension"); the sublane->lane RESHAPE [C, TILE] -> [1, C*TILE] of the
+# contiguous step block lowers fine (hardware-validated 2026-08-20).
 _GATHER_CHUNK = 1
+# steps per corridor-probe matmul (same reshape batching for the band
+# prefix queries; the 3 probe offsets stay separate loops)
+_PROBE_CHUNK = 1
 _LANE = 128
 _NUM_COLS = 12
 # dynamic-gather window rows for the single-problem scorer: candidates only
@@ -163,6 +169,13 @@ def _lookup_pair(s_chunk, s_col, pair_stack):
     preserved.
     """
     onehot = _onehot_at(s_chunk, s_col, jnp.bfloat16)
+    if "gather_dot" in _ABLATE:                             # timing ablation
+        # keep the one-hot build, skip the MXU dot (cheap reduce keeps the
+        # compare alive against DCE) — separates compare vs MXU cost
+        keep = jnp.max(onehot.astype(jnp.float32), axis=0, keepdims=True)
+        wide3 = pair_stack[:, 0:1].astype(jnp.float32) * keep  # [48, TILE]
+        return (wide3[0:_PAIR_ROWS] + wide3[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+            + wide3[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
     wide = jax.lax.dot_general(pair_stack, onehot, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [48, TILE]
     return (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
@@ -207,6 +220,9 @@ def _probe_band_prefix(s_chunk, s_col, band_tab):
     always 0 (sentinel arclengths exceed any clamped probe), contributing an
     exact 0 to every partial sum."""
     step = (s_col <= s_chunk).astype(jnp.bfloat16)
+    if "probe_dot" in _ABLATE:                              # timing ablation
+        keep = jnp.max(step.astype(jnp.float32), axis=0, keepdims=True)
+        return -30.0 * keep, 30.0 * keep
     wide = jax.lax.dot_general(band_tab, step, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)  # [6, TILE]
     d_lo = (wide[0:1, :] + wide[1:2, :]) + wide[2:3, :]
@@ -228,6 +244,55 @@ def band_delta_tab(d_lo_col, d_hi_col):
     b0, b1, b2 = split3_bf16(band)
     return jnp.concatenate([b0[0:1], b1[0:1], b2[0:1],
                             b0[1:2], b1[1:2], b2[1:2]], axis=0)  # [6, P]
+
+
+def band_abs_tab(d_lo_col, d_hi_col):
+    """[6, P] bf16 split3 stack of the ABSOLUTE band values (row layout as
+    ``band_delta_tab``).  Column p is exactly the column-0 a windowed
+    ``band_delta_tab`` would build for a window starting at row p — the
+    per-window correction for slicing precomputed delta tables."""
+    band = jnp.stack([d_lo_col, d_hi_col])                      # [2, P]
+    b0, b1, b2 = split3_bf16(band)
+    return jnp.concatenate([b0[0:1], b1[0:1], b2[0:1],
+                            b0[1:2], b1[1:2], b2[1:2]], axis=0)  # [6, P]
+
+
+class ScorerTables(NamedTuple):
+    """Precomputed full-table kernel operands (build ONCE per scan/bundle,
+    slice per cycle).  The per-cycle XLA prelude — transpose + split3 +
+    concat chains on the windowed table — measured 236 us/launch at T=61
+    (38% of the launch, 2026-08-20); with these precomputed the prelude
+    reduces to a handful of dynamic slices.
+
+    table: [P, 12] f32 packed table (pack_ref_tables);
+    pair:  [48, P] bf16 split3 pair stack where column p pairs row p with
+           row p+1 (wrap at P — the wrapped column is never read: windows
+           exclude their final row via window_ok, and full-table queries
+           are clamped below the sentinel rows);
+    band_delta: [6, P] prefix-difference band stack (band_delta_tab);
+    band_abs:   [6, P] absolute band stack (band_abs_tab) — column i0
+           replaces the delta column when a window starts at row i0.
+    """
+    table: jnp.ndarray
+    pair: jnp.ndarray
+    band_delta: jnp.ndarray
+    band_abs: jnp.ndarray
+
+
+def precompute_scorer_tables(packed_table: jnp.ndarray) -> ScorerTables:
+    """Full-table ScorerTables from a ``pack_ref_tables`` [P, 12] table."""
+    tab = packed_table.astype(jnp.float32)
+    tab_next = jnp.concatenate([tab[1:], tab[:1]], axis=0)
+    pair_T = jnp.concatenate([tab.T, tab_next[:, :4].T], axis=0)   # [16, P]
+    pair = jnp.concatenate(split3_bf16(pair_T), axis=0)            # [48, P]
+    return ScorerTables(table=tab, pair=pair,
+                        band_delta=band_delta_tab(tab[:, 4], tab[:, 5]),
+                        band_abs=band_abs_tab(tab[:, 4], tab[:, 5]))
+
+
+def precompute_fleet_scorer_tables(packed_tables: jnp.ndarray) -> ScorerTables:
+    """Per-problem ScorerTables ([F, ...] leaves) from [F, P, 12] tables."""
+    return jax.vmap(precompute_scorer_tables)(packed_tables)
 
 
 def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
@@ -356,9 +421,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         if c1 - c0 == 1:
             s_wide = s_lookup[c0:c0 + 1, :]
         else:
-            s_wide = jnp.concatenate([s_lookup[c:c + 1, :]
-                                      for c in range(c0, c1)],
-                                     axis=1)                # [1, C*TILE]
+            s_wide = s_lookup[c0:c1, :].reshape(1, (c1 - c0) * TILE)
         wide = _lookup_pair(s_wide, s_col, pair_stack)      # [16, C*TILE]
         for i in range(c1 - c0):
             vals = wide[:, i * TILE:(i + 1) * TILE]
@@ -397,7 +460,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     dp = jnp.where(low_vel, d_dot, dp_high)
     dpp = jnp.where(low_vel, d_ddot, dpp_high)
 
-    theta_cl_move = _atan(dp)
+    theta_cl_move = dp if "werling" in _ABLATE else _atan(dp)
     theta_gl_move = theta_cl_move + interp_theta
     use_move = moving | low_vel
 
@@ -413,15 +476,23 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         theta_gl = jnp.concatenate(rows, axis=0)
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
-    one_krd = 1.0 - k_r * d
-    cos_t = jnp.cos(theta_cl)
-    tan_t = jnp.tan(theta_cl)
-    kappa_gl = ((dpp + (k_r * dp + k_r_d * d) * tan_t) * cos_t *
-                (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
-    v = s_dot * (one_krd / cos_t)
-    a = (s_ddot * one_krd / cos_t + ((s_dot ** 2) / cos_t) *
-         (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
-          (k_r_d * d + k_r * dp)))
+    if "werling" in _ABLATE:                                # timing ablation
+        one_krd = 1.0 - k_r * d
+        cos_t = 1.0 - theta_cl * theta_cl
+        tan_t = theta_cl
+        kappa_gl = dpp + k_r
+        v = s_dot * one_krd
+        a = s_ddot + kappa_gl
+    else:
+        one_krd = 1.0 - k_r * d
+        cos_t = jnp.cos(theta_cl)
+        tan_t = jnp.tan(theta_cl)
+        kappa_gl = ((dpp + (k_r * dp + k_r_d * d) * tan_t) * cos_t *
+                    (cos_t / one_krd) ** 2 + (cos_t / one_krd) * k_r)
+        v = s_dot * (one_krd / cos_t)
+        a = (s_ddot * one_krd / cos_t + ((s_dot ** 2) / cos_t) *
+             (one_krd * tan_t * (kappa_gl * one_krd / cos_t - k_r) -
+              (k_r_d * d + k_r * dp)))
 
     # ---- constraint masks + first-failure reason --------------------------
     # reason semantics mirror ops.kinematics.rollout: flat priority index
@@ -525,20 +596,26 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     desired_d = scal(_S_DESIRED_D)
     v_end = v[T - 1:T, :]
     v_mid = v[T // 2:T // 2 + 1, :]
-    costs = jnp.sum((w_a * a) ** 2, axis=0, keepdims=True)
-    costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0, keepdims=True)
-                     + 50.0 * (v_end - desired_v) ** 2
-                     + 100.0 * (v_mid - desired_v) ** 2)
-    if has_desired_s:
-        # stopping cost (cost_function.py:60-62)
-        desired_s = scal(_S_DESIRED_S)
-        costs = costs + (jnp.sum((0.25 * (desired_s - s)) ** 2, axis=0,
+    if "cost" in _ABLATE:                                   # timing ablation
+        costs = jnp.sum(v + a + d + s + theta_cl, axis=0, keepdims=True)
+    else:
+        costs = jnp.sum((w_a * a) ** 2, axis=0, keepdims=True)
+        costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0,
                                  keepdims=True)
-                         + (20.0 * (desired_s - s[T - 1:T, :])) ** 2)
-    costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0, keepdims=True)
-                     + (20.0 * (desired_d - d[T - 1:T, :])) ** 2)
-    costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0, keepdims=True)
-                     + (5.0 * jnp.abs(theta_cl[T - 1:T, :])) ** 2)
+                         + 50.0 * (v_end - desired_v) ** 2
+                         + 100.0 * (v_mid - desired_v) ** 2)
+        if has_desired_s:
+            # stopping cost (cost_function.py:60-62)
+            desired_s = scal(_S_DESIRED_S)
+            costs = costs + (jnp.sum((0.25 * (desired_s - s)) ** 2, axis=0,
+                                     keepdims=True)
+                             + (20.0 * (desired_s - s[T - 1:T, :])) ** 2)
+        costs = costs + (jnp.sum((0.25 * (desired_d - d)) ** 2, axis=0,
+                                 keepdims=True)
+                         + (20.0 * (desired_d - d[T - 1:T, :])) ** 2)
+        costs = costs + (jnp.sum((0.25 * jnp.abs(theta_cl)) ** 2, axis=0,
+                                 keepdims=True)
+                         + (5.0 * jnp.abs(theta_cl[T - 1:T, :])) ** 2)
 
     # ---- corridor road-boundary check (post-enlarge states, 3 probes) -----
     half_len = scal(_S_HALF_LEN)
@@ -551,18 +628,29 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     lon_ext = (half_len * jnp.abs(jnp.cos(theta_cl)) +
                half_wid * jnp.abs(jnp.sin(theta_cl)))
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
+    d_plus = d_center + lat_ext
+    d_minus = d_center - lat_ext
     for offset in (() if "probes" in _ABLATE else (-1.0, 0.0, 1.0)):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
-        for c in range(T):
-            band_lo, band_hi = _probe_band_prefix(s_probe[c:c + 1, :], s_col,
-                                                  band_tab)
-            row_viol = ((d_center[c:c + 1, :] + lat_ext[c:c + 1, :]
-                         > band_hi) |
-                        (d_center[c:c + 1, :] - lat_ext[c:c + 1, :]
-                         < band_lo))
-            collides = collides | row_viol
+        for c0 in range(0, T, _PROBE_CHUNK):
+            c1 = min(c0 + _PROBE_CHUNK, T)
+            C = c1 - c0
+            if C == 1:
+                q = s_probe[c0:c0 + 1, :]
+                dp_w = d_plus[c0:c0 + 1, :]
+                dm_w = d_minus[c0:c0 + 1, :]
+            else:
+                # sublane->lane reshape batches C steps' band queries into
+                # ONE telescoping matmul — bitwise identical per column
+                q = s_probe[c0:c1, :].reshape(1, C * TILE)
+                dp_w = d_plus[c0:c1, :].reshape(1, C * TILE)
+                dm_w = d_minus[c0:c1, :].reshape(1, C * TILE)
+            band_lo, band_hi = _probe_band_prefix(q, s_col, band_tab)
+            viol_w = (dp_w > band_hi) | (dm_w < band_lo)    # [1, C*TILE]
+            for i in range(C):
+                collides = collides | viol_w[:, i * TILE:(i + 1) * TILE]
     # ---- obstacle OBB SAT (ego center poses vs obstacle table) ------------
     e_theta = theta_gl
     e_cos = jnp.cos(e_theta)
@@ -672,6 +760,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             x0_orientation, dt: float,
                             low_vel, desired_speed, desired_d, w_a,
                             ref_s_last=None, desired_s=None, span=None,
+                            pre: ScorerTables | None = None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False,
@@ -753,17 +842,25 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     for slot, value in values:
         scalars = scalars.at[0, slot].set(jnp.asarray(value, dtype))
 
-    table = packed_table.astype(dtype)
+    if pre is None:
+        pre = precompute_scorer_tables(packed_table)
+    table = pre.table
 
-    def call_kernel(tab):
-        """pallas_call over a (possibly windowed) [Pw, 12] table."""
+    def call_kernel(tab, pair_stack, band):
+        """pallas_call over (possibly windowed) [Pw, 12] / [48, Pw] / [6, Pw]
+        operands sliced from the precomputed ScorerTables."""
         Pw = tab.shape[0]
         scal_tab = scalars.at[0, _S_TABLE_S0].set(tab[0, 0])
-        tab_next = jnp.concatenate([tab[1:], tab[:1]], axis=0)
-        pair_T = jnp.concatenate([tab.T, tab_next[:, :4].T], axis=0)  # [16, Pw]
-        pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=0)     # [48, Pw]
-        band = band_delta_tab(tab[:, 4], tab[:, 5])                   # [6, Pw]
         grid = (K_pad // tile,)
+        if "launch" in _ABLATE:                             # timing ablation
+            # skip the pallas_call entirely (XLA prelude + window machinery
+            # only; cheap reductions keep every operand alive against DCE)
+            keep = (jnp.sum(pair_stack.astype(dtype)) + jnp.sum(band)
+                    + jnp.sum(scal_tab) + jnp.sum(cl) + jnp.sum(ca)
+                    + jnp.sum(tl) + jnp.sum(obs) + jnp.sum(poly)
+                    + jnp.sum(gv.astype(dtype)))
+            row = jnp.full((1, K_pad), 1.0, dtype) * keep
+            return row, row, row
         return pl.pallas_call(
             functools.partial(_scoring_kernel, n_steps=n_steps,
                               n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
@@ -812,7 +909,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     # to force the full-table path)
     W = _WINDOW_ROWS if T <= 32 else _WINDOW_ROWS_LONG
     if P <= W:
-        out = call_kernel(table)
+        out = call_kernel(table, pre.pair, pre.band_delta)
     else:
         # ---- dynamic table window (exactness-preserving) ----------------
         # Every per-step table query (gather + the three corridor probes)
@@ -863,9 +960,18 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             s_col_full, i0 + W - 1, 1)[0]
         window_ok = qmax < s_top
         window = jax.lax.dynamic_slice_in_dim(table, i0, W, axis=0)
-        out = jax.lax.cond(window_ok,
-                           lambda: call_kernel(window),
-                           lambda: call_kernel(table))
+        pair_w = jax.lax.dynamic_slice(pre.pair, (0, i0), (48, W))
+        # the delta-stack's column i0 is a difference vs row i0-1; the
+        # window's telescoping needs the ABSOLUTE band there (exactly what
+        # band_delta_tab builds as its own column 0)
+        band_w = jnp.concatenate(
+            [jax.lax.dynamic_slice(pre.band_abs, (0, i0), (6, 1)),
+             jax.lax.dynamic_slice(pre.band_delta, (0, i0 + 1), (6, W - 1))],
+            axis=1)
+        out = jax.lax.cond(
+            window_ok,
+            lambda: call_kernel(window, pair_w, band_w),
+            lambda: call_kernel(table, pre.pair, pre.band_delta))
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.
@@ -894,6 +1000,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                         obs_radius: jnp.ndarray | None = None,
                         poly_table: jnp.ndarray | None = None,
                         span: jnp.ndarray | None = None,
+                        pre: ScorerTables | None = None,
                         *, n_steps: int,
                         check_flags: tuple = (True,) * 5,
                         has_desired_s: bool = False,
@@ -963,7 +1070,9 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     for slot, value in values:
         scalars = scalars.at[:, 0, slot].set(jnp.asarray(value, dtype))
 
-    tables = packed_tables.astype(dtype)                         # [F, P, 12]
+    if pre is None:
+        pre = precompute_fleet_scorer_tables(packed_tables)
+    tables = pre.table                                           # [F, P, 12]
 
     # polygon group: [F, Mp, T, 2V + 1] (pack with interleaved world vertex
     # coords + validity); dummy when the fleet has no polygon obstacles
@@ -975,16 +1084,11 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         Vp = (poly_table.shape[-1] - 1) // 2
     poly = poly_table.astype(dtype)
 
-    def call_kernel(tabs):
-        """pallas_call over (possibly windowed) [F, Pw, 12] tables."""
+    def call_kernel(tabs, pair_stack, band):
+        """pallas_call over (possibly windowed) [F, Pw, 12] / [F, 48, Pw] /
+        [F, 6, Pw] operands sliced from the precomputed ScorerTables."""
         Pw = tabs.shape[1]
         scal_tab = scalars.at[:, 0, _S_TABLE_S0].set(tabs[:, 0, 0])
-        tabs_next = jnp.concatenate([tabs[:, 1:], tabs[:, :1]], axis=1)
-        pair_T = jnp.concatenate(
-            [jnp.swapaxes(tabs, 1, 2),
-             jnp.swapaxes(tabs_next[:, :, :4], 1, 2)], axis=1)   # [F, 16, Pw]
-        pair_stack = jnp.concatenate(split3_bf16(pair_T), axis=1)
-        band = jax.vmap(band_delta_tab)(tabs[:, :, 4], tabs[:, :, 5])
         grid = (F, K_pad // tile)
         return pl.pallas_call(
             functools.partial(_fleet_scoring_kernel, n_steps=n_steps,
@@ -1030,7 +1134,7 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
 
     W = _WINDOW_ROWS if T <= 32 else _WINDOW_ROWS_LONG
     if P <= W:
-        out = call_kernel(tables)
+        out = call_kernel(tables, pre.pair, pre.band_delta)
     else:
         # per-problem dynamic table windows (see _score_candidates_pallas;
         # bounds from the caller's per-problem ``span`` [F, 2] or a dense
@@ -1077,9 +1181,20 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         windows = jax.vmap(
             lambda t, i: jax.lax.dynamic_slice_in_dim(
                 t, i, W, axis=0))(tables, i0)
-        out = jax.lax.cond(window_ok,
-                           lambda: call_kernel(windows),
-                           lambda: call_kernel(tables))
+        pairs_w = jax.vmap(
+            lambda p, i: jax.lax.dynamic_slice(p, (0, i), (48, W)))(
+                pre.pair, i0)
+        # delta column i0 is a difference vs row i0-1; the window needs the
+        # ABSOLUTE band there (band_delta_tab's own column-0 construction)
+        bands_w = jnp.concatenate(
+            [jax.vmap(lambda b, i: jax.lax.dynamic_slice(
+                b, (0, i), (6, 1)))(pre.band_abs, i0),
+             jax.vmap(lambda b, i: jax.lax.dynamic_slice(
+                 b, (0, i + 1), (6, W - 1)))(pre.band_delta, i0)], axis=2)
+        out = jax.lax.cond(
+            window_ok,
+            lambda: call_kernel(windows, pairs_w, bands_w),
+            lambda: call_kernel(tables, pre.pair, pre.band_delta))
     return out[0][:, 0, :K], out[1][:, 0, :K], out[2][:, 0, :K]
 
 

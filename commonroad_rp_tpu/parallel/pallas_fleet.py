@@ -24,7 +24,9 @@ from commonroad_rp_tpu.ops import frenet as frenet_ops
 from commonroad_rp_tpu.ops import grid as grid_ops
 from commonroad_rp_tpu.ops import kinematics as kin_ops
 from commonroad_rp_tpu.ops import pallas_cycle
-from commonroad_rp_tpu.ops.collision import CorridorArrays, ObstacleArrays
+from commonroad_rp_tpu.ops import collision as collision_ops
+from commonroad_rp_tpu.ops.collision import (BoundaryArrays, CorridorArrays,
+                                             ObstacleArrays)
 from commonroad_rp_tpu.ops.frenet import RefPathTables
 
 
@@ -50,6 +52,10 @@ def make_pallas_replanning_scan(ref: RefPathTables,
     dtype = jnp.float32
     T = n_steps + 1
     packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    # scan-constant kernel operands: built ONCE here, per-cycle cost is a
+    # handful of window slices (the per-cycle split3/transpose prelude was
+    # 38% of a T=61 launch, hardware-measured 2026-08-20)
+    pre = pallas_cycle.precompute_scorer_tables(packed)
     ref_s_last = pallas_cycle.true_path_length(ref)
     M = obstacles_full.pose.shape[0]
     pose_all = obstacles_full.pose.astype(dtype)
@@ -90,8 +96,8 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         costs, _, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
             carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
-            dtype(0.0), dtype(5.0), ref_s_last, span=span, n_steps=n_steps,
-            interpret=interpret)
+            dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
+            n_steps=n_steps, interpret=interpret)
         best = jnp.argmin(costs)
         found = jnp.isfinite(costs[best])
 
@@ -174,6 +180,8 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
     with jax.enable_x64(False):
         corr = _Corr(d_lo=scene.corridor_lo, d_hi=scene.corridor_hi)
         packed = jax.vmap(pallas_cycle.pack_ref_tables)(scene.ref, corr)
+        # scan-constant kernel operands (per-cycle cost: window slices only)
+        pre = pallas_cycle.precompute_fleet_scorer_tables(packed)
         # FleetScene pads refs with arclength sentinels stepping by 1e6
         # (fleet.build_fleet_scene); the true per-problem path length is the
         # largest arclength below the sentinel band
@@ -189,7 +197,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         raise ValueError("stopping mode requires desired_s and s_window")
     lookahead = min(standstill_lookahead, n_steps)
 
-    def cycle(carry, _, *, scene, packed, ref_s_last, veh_stack):
+    def cycle(carry, _, *, scene, packed, pre, ref_s_last, veh_stack):
         F = carry.x0_lon.shape[0]
         v_min = jnp.maximum(0.0, carry.velocity
                             - 0.125 * horizon * scene.veh.a_max)
@@ -254,7 +262,7 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
             desired_s=None if not stopping
             else jnp.asarray(desired_s, dtype),
             obs_radius=scene.obs_radius.astype(dtype),
-            poly_table=poly_table, span=span,
+            poly_table=poly_table, span=span, pre=pre,
             n_steps=n_steps, has_desired_s=stopping,
             interpret=interpret)                           # [F, K] each
 
@@ -335,13 +343,13 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                    new_theta, new_v)
         return new_carry, metrics
 
-    def local_scan(carry, scene, packed, ref_s_last, veh_stack):
-        body = functools.partial(cycle, scene=scene, packed=packed,
+    def local_scan(carry, scene, packed, pre, ref_s_last, veh_stack):
+        body = functools.partial(cycle, scene=scene, packed=packed, pre=pre,
                                  ref_s_last=ref_s_last, veh_stack=veh_stack)
         return jax.lax.scan(body, carry, None, length=n_cycles)
 
     if mesh is None:
-        raw = jax.jit(lambda carry: local_scan(carry, scene, packed,
+        raw = jax.jit(lambda carry: local_scan(carry, scene, packed, pre,
                                                ref_s_last, veh_stack))
     else:
         f = P(FLEET_AXIS)
@@ -360,10 +368,11 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
                         P(None, FLEET_AXIS), P(None, FLEET_AXIS))
         sharded = shard_map(
             local_scan, mesh=mesh,
-            in_specs=(carry_spec, scene_spec, f, f, f),
+            in_specs=(carry_spec, scene_spec, f,
+                      pallas_cycle.ScorerTables(*([f] * 4)), f, f),
             out_specs=(carry_spec, metrics_spec),
             check_vma=False)
-        raw = jax.jit(lambda carry: sharded(carry, scene, packed,
+        raw = jax.jit(lambda carry: sharded(carry, scene, packed, pre,
                                             ref_s_last, veh_stack))
 
     def run(carry):
@@ -409,7 +418,9 @@ def make_facade_replanning_scan(ref: RefPathTables,
                                 longitudinal_mode: str = "velocity_keeping",
                                 desired_s: float | None = None,
                                 s_window: tuple | None = None,
-                                standstill_lookahead: int = 10):
+                                standstill_lookahead: int = 10,
+                                boundary=None,
+                                continuous: bool = False):
     """Device-resident facade loop: ``n_cycles`` of fused level-escalated
     planning cycles in ONE dispatch (``ReactivePlanner.plan_scan``).
 
@@ -479,6 +490,8 @@ def make_facade_replanning_scan(ref: RefPathTables,
         [np.full(k, j, np.int32) for j, k in enumerate(sizes)]))
 
     packed = pallas_cycle.pack_ref_tables(ref, corridor)
+    # scan-constant kernel operands (per-cycle cost: window slices only)
+    pre = pallas_cycle.precompute_scorer_tables(packed)
     ref_s_last = pallas_cycle.true_path_length(ref)
     veh32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), veh)
     ref32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), ref)
@@ -487,7 +500,29 @@ def make_facade_replanning_scan(ref: RefPathTables,
     if stopping and (desired_s is None or s_window is None):
         raise ValueError("stopping mode requires desired_s and s_window")
 
-    def cycle(carry: FacadeScanCarry, _):
+    # Lazy exact refinement (reference reactive_planner.py:1013-1063): the
+    # kernel's dense mask covers kinematics + discrete obstacles (+corridor);
+    # the EXPENSIVE exact modes — 'segments' road boundary SAT and the
+    # continuous swept-OBB pass — run per WINNER inside a while_loop,
+    # masking a colliding winner to +inf and re-selecting, exactly the
+    # reference's sorted lazy iteration (a visited-and-rejected candidate is
+    # precisely one that is cheaper than the final winner and collides).
+    refine_segments = boundary is not None and boundary.segments.shape[0] > 0
+    refine = refine_segments or continuous
+    if refine_segments:
+        bound32 = BoundaryArrays(
+            segments=jnp.asarray(boundary.segments, dtype),
+            valid=jnp.asarray(boundary.valid))
+        empty_obs = ObstacleArrays(pose=jnp.zeros((0, T, 3), dtype),
+                                   half_ext=jnp.zeros((0, 2), dtype),
+                                   valid=jnp.zeros((0, T), dtype=bool))
+
+    def cycle(carry: FacadeScanCarry, _, ds=None):
+        # ``ds`` is the TRACED desired speed (run(carry, desired_speed=...))
+        # so velocity-tracking missions can vary the target per dispatch
+        # without retracing the scan program
+        if ds is None:
+            ds = jnp.asarray(desired_speed, dtype)
         v_min = jnp.maximum(0.0, carry.velocity
                             - 0.125 * horizon * veh32.a_max)
         v_max = jnp.maximum(v_min + 5.0, carry.velocity + 2.0)
@@ -548,13 +583,45 @@ def make_facade_replanning_scan(ref: RefPathTables,
 
         masked, kin, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, gv, packed, obstacles, veh32, carry.orientation,
-            dtype(dt), low_vel, jnp.asarray(desired_speed, dtype),
+            dtype(dt), low_vel, ds,
             jnp.asarray(desired_d, dtype), jnp.asarray(w_a, dtype),
             ref_s_last,
             desired_s=None if not stopping else jnp.asarray(desired_s, dtype),
-            span=(span_lo, span_hi),
+            span=(span_lo, span_hi), pre=pre,
             n_steps=n_steps, check_flags=constraint_flags,
             interpret=interpret)
+
+        if refine:
+            def check_winner(m):
+                """(select, exact-check) one winner; True = must re-pick."""
+                found_i, bi, *_ = cycle_ops.select_across_levels(
+                    m, kin, gv, level_ids, n_levels)
+                ro = kin_ops.rollout(
+                    cl[bi][None, :], ca[bi][None, :], tl[bi][None],
+                    ref32, veh32, carry.orientation, dt, n_steps, low_vel)
+                colliding = jnp.zeros((1,), dtype=bool)
+                if refine_segments:
+                    colliding = colliding | collision_ops.check_collisions(
+                        ro.x, ro.y, ro.theta_gl, empty_obs, bound32,
+                        veh32.half_length, veh32.half_width,
+                        veh32.wb_rear_axle)
+                if continuous:
+                    colliding = colliding | \
+                        collision_ops.check_collisions_continuous(
+                            ro.x, ro.y, ro.theta_gl, obstacles,
+                            veh32.half_length, veh32.half_width,
+                            veh32.wb_rear_axle)
+                bad = found_i & colliding[0]
+                m = jnp.where(bad & (jnp.arange(m.shape[0]) == bi),
+                              jnp.inf, m)
+                return m, bad
+
+            def refine_body(state):
+                m, _ = state
+                return check_winner(m)
+
+            masked, _ = jax.lax.while_loop(
+                lambda state: state[1], refine_body, check_winner(masked))
 
         (found, best_idx, best_cost, _stat_level, n_inf_kin,
          n_coll) = cycle_ops.select_across_levels(masked, kin, gv,
@@ -615,11 +682,14 @@ def make_facade_replanning_scan(ref: RefPathTables,
         return new_carry, metrics
 
     raw = jax.jit(
-        lambda carry: jax.lax.scan(cycle, carry, None, length=n_cycles))
+        lambda carry, ds: jax.lax.scan(
+            functools.partial(cycle, ds=ds), carry, None, length=n_cycles))
 
-    def run(carry: FacadeScanCarry):
+    def run(carry: FacadeScanCarry, desired_speed_val: float | None = None):
         # x64-off must wrap the CALL (Mosaic rejects 64-bit layouts)
+        ds = jnp.asarray(desired_speed if desired_speed_val is None
+                         else desired_speed_val, jnp.float32)
         with jax.enable_x64(False):
-            return raw(carry)
+            return raw(carry, ds)
 
     return run

@@ -13,6 +13,123 @@ import argparse
 import logging
 import time
 
+import numpy as np
+
+
+def drive_mission(planner, config, max_steps: int = 400, chunk: int = 12,
+                  verbose: bool = False) -> dict:
+    """Stop-at-goal mission: the reference's two longitudinal modes
+    (reactive_planner.py:309-347 velocity-keeping + :349-376 stopping)
+    composed into one run, every planning cycle through the device-resident
+    ``plan_scan``.
+
+    Phases: CRUISE (velocity-keeping) until the goal region is entered
+    inside its admissible time window, then BRAKE (tracked deceleration
+    profile toward a computed stop point), then STOP (stopping-mode
+    quintics to rest).  A stopping quintic must fit the horizon
+    (t_stop ~ 2 d / v <= h), which bounds the hand-over speed; the
+    velocity-keeping sampler tracks a braking profile at ~1.7 m/s^2
+    effective (measured, lag included), so the stop point is placed with a
+    conservative 1.5 and the profile leads the position by ~1 s of travel.
+
+    Returns a dict: success, goal_entered, halted, final_v, final_s,
+    stop_target, steps, cycles, scan_infos.
+    """
+    logger = logging.getLogger("RP_LOGGER")
+    scan_infos = []
+    a_br = 1.5
+    v_handover = max(2.0, min(6.0, 0.55 * 2.5 * planner.horizon))
+    reach_h = max(0.45 * v_handover * planner.horizon, 3.0)
+    phase = "cruise"
+    goal_entered = False
+    stop_target = None
+    stop_retargets = 0
+    while True:
+        if len(planner.record_state_list) - 1 >= max_steps:
+            logger.warning("Mission aborted after %d steps",
+                           len(planner.record_state_list) - 1)
+            break
+        if not planner.x_0_cl:
+            planner.x_0_cl = planner._compute_initial_states(planner.x_0)
+        cur_s = float(planner.x_0_cl[0][0])
+        v = planner.x_0.velocity
+        n_cycles = chunk
+        if phase == "cruise":
+            planner.set_desired_velocity(current_speed=v)
+        elif phase == "brake":
+            if stop_target is None:
+                # fixed stop point: brake distance + sampler reach +
+                # half-second tracking-lag margin
+                stop_target = cur_s \
+                    + (v * v - v_handover ** 2) / (2.0 * a_br) \
+                    + reach_h + 0.5 * v
+                logger.info("Mission: braking toward stop at s = %.2f",
+                            stop_target)
+            remaining = stop_target - cur_s
+            if remaining < 2.0 and v > 0.5:
+                # overshot the planned stop point — re-target ahead
+                stop_target = cur_s + max(0.45 * v * planner.horizon, 3.0)
+                remaining = stop_target - cur_s
+                logger.info("Mission: re-targeting stop to s = %.2f",
+                            stop_target)
+            if remaining <= max(reach_h, 0.45 * v * planner.horizon):
+                # a stopping quintic from the CURRENT speed fits the
+                # horizon — hand over now
+                phase = "stop"
+                config.sampling.longitudinal_mode = "stopping"
+                planner.set_desired_lon_position(stop_target)
+                logger.info("Mission: stopping phase at s = %.2f "
+                            "(%.1f m to stop target)", cur_s, remaining)
+            else:
+                # profile speed one second of travel AHEAD of the current
+                # position (tracking-lag lead)
+                v_des = max(v_handover, float(np.sqrt(max(
+                    2.0 * a_br * (remaining - reach_h - v), 0.0))))
+                planner.set_desired_velocity(desired_velocity=v_des,
+                                             current_speed=v)
+                n_cycles = 3
+        if phase == "stop" and v <= 0.05:
+            logger.info("Mission: halted at s = %.2f", cur_s)
+            break
+        info = planner.plan_scan(n_cycles,
+                                 stop_on_goal=(phase == "cruise"))
+        scan_infos.append(info)
+        if verbose:
+            print(f"plan_scan[{phase}]: {info['cycles_run']} cycles, "
+                  f"{info['steps']} steps, goal={info['goal_reached']}, "
+                  f"{info['wall_time'] / max(info['cycles_run'], 1) * 1e3:.2f}"
+                  " ms/cycle", flush=True)
+        if phase == "cruise" and info["goal_reached"]:
+            goal_entered = True
+            phase = "brake"
+            logger.info("Mission: goal region entered — braking")
+            continue
+        if info["cycles_run"] == 0:
+            if phase == "stop" and planner.x_0.velocity > 0.05 \
+                    and stop_retargets < 3:
+                # rolled past the stop point before rest — nudge the target
+                # ahead of the current position and keep stopping
+                stop_retargets += 1
+                cur_s = float(planner.x_0_cl[0][0])
+                v = planner.x_0.velocity
+                stop_target = cur_s + max(0.45 * v * planner.horizon, 1.5)
+                planner.set_desired_lon_position(stop_target)
+                logger.info("Mission: stop re-target %d to s = %.2f",
+                            stop_retargets, stop_target)
+                continue
+            logger.error("plan_scan found no trajectory — stopping")
+            break
+    final_v = planner.x_0.velocity
+    final_s = float(planner.x_0_cl[0][0]) if planner.x_0_cl else None
+    halted = final_v <= 0.05
+    success = goal_entered and halted and final_s is not None and \
+        stop_target is not None and abs(final_s - stop_target) < 5.0
+    return dict(success=success, goal_entered=goal_entered, halted=halted,
+                final_v=final_v, final_s=final_s, stop_target=stop_target,
+                steps=len(planner.record_state_list) - 1,
+                cycles=sum(i["cycles_run"] for i in scan_infos),
+                scan_infos=scan_infos)
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -42,6 +159,13 @@ def main():
                              "along the reference path (sets "
                              "sampling.longitudinal_mode=stopping; the loop "
                              "ends when the vehicle halts)")
+    parser.add_argument("--mission", action="store_true",
+                        help="stop-at-goal mission: velocity-keeping "
+                             "plan_scan to the goal region, then stopping-"
+                             "mode plan_scan to a standstill at the goal "
+                             "center — the reference's two longitudinal "
+                             "modes composed end-to-end on device "
+                             "(implies --scan)")
     args = parser.parse_args()
 
     import jax
@@ -66,6 +190,8 @@ def main():
         f"configurations/{args.scenario}.yaml", filename)
     config.update()
 
+    if args.mission:
+        args.scan = True
     if args.scan:
         args.fast = True
     if args.stop_at is not None:
@@ -111,6 +237,32 @@ def main():
         planner.set_desired_lon_position(stop_s)
         logger.info("Stopping mode: target s = %.2f (+%.1f m)", stop_s,
                     args.stop_at)
+
+    if args.mission:
+        goal_s = planner.goal_center_s()
+        if goal_s is None:
+            parser.error("--mission requires a goal with a position "
+                         "constraint")
+        result = drive_mission(planner, config, max_steps=args.max_steps,
+                               verbose=True)
+        wall = time.time() - t_start
+        reached = result["success"]
+        n_cycles = result["cycles"]
+        print(f"mission: goal_entered={result['goal_entered']} "
+              f"halted={result['halted']} v={result['final_v']:.3f} "
+              f"s={result['final_s']:.2f} "
+              f"stop_target={result['stop_target']}", flush=True)
+        print(f"goal_reached={reached} steps={result['steps']} "
+              f"wall={wall:.2f}s cycles={n_cycles} "
+              f"ms_per_cycle={wall / max(n_cycles, 1) * 1e3:.2f}", flush=True)
+        if args.evaluate:
+            from commonroad_rp_tpu.utils.evaluation import run_evaluation
+            solution, feasibility = run_evaluation(
+                planner.config, planner.record_state_list,
+                planner.record_input_list)
+            print(f"state transitions feasible: "
+                  f"{sum(feasibility)}/{len(feasibility)}")
+        return 0 if reached else 1
 
     if args.scan:
         # device-resident loop: chunks of replanning cycles per dispatch

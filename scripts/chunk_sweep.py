@@ -1,12 +1,12 @@
-"""Hardware timing ablation of the fused scoring kernel at a given horizon.
+"""Hardware sweep of the scorer's query-batching chunks.
 
-Times ``_score_candidates_pallas`` with each ``pallas_cycle._ABLATE``
-section disabled in turn — the drop vs the full kernel attributes device
-time to that section.  ABLATED RESULTS ARE WRONG; this is instrumentation
-only (the module hook must be poked explicitly, there is no env hook).
+Times ``_score_candidates_pallas`` for (gather_chunk, probe_chunk) combos
+and parity-checks every combo against the (1, 1) baseline (the batching is
+bitwise identical by construction — dot columns are independent — but the
+reshape lowering is hardware-only, so verify on the chip).
 
-    PYTHONPATH=/root/repo:/root/.axon_site python scripts/t61_ablation.py \
-        --n-steps 60 --n-scan 150
+    PYTHONPATH=/root/repo:/root/.axon_site python scripts/chunk_sweep.py \
+        --n-steps 60 --n-scan 150 --combos "1,1 4,4 8,8 16,16"
 """
 
 import argparse
@@ -20,8 +20,8 @@ def main():
     parser.add_argument("--n-scan", type=int, default=150)
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--n-steps", type=int, default=60)
-    parser.add_argument("--sections", default="gather,probes,constraints,"
-                        "obb,hold,enlarge,gather+probes,ALL")
+    parser.add_argument("--combos", default="1,1 2,2 4,4 8,8 16,16 8,16 16,8")
+    parser.add_argument("--tile", type=int, default=None)
     args = parser.parse_args()
 
     import jax
@@ -80,21 +80,13 @@ def main():
         jnp.asarray(25.0, dtype), jnp.asarray(False), grid)
     gv = jnp.ones(K, dtype=bool)
 
-    configs = [("full", frozenset())]
-    all_sections = ("gather", "probes", "constraints", "obb", "hold",
-                    "enlarge")
-    for name in args.sections.split(","):
-        if name == "ALL":
-            configs.append(("ALL", frozenset(all_sections)))
-        else:
-            configs.append((name, frozenset(name.split("+"))))
-
-    baseline = None
-    for name, ablate in configs:
-        pallas_cycle._ABLATE = ablate
-        # _ABLATE is read at trace time and is NOT part of the jit cache key
-        # — without this, every config after the first reuses the first
-        # compiled executable and the sweep measures nothing
+    baseline_out = None
+    baseline_t = None
+    for combo in args.combos.split():
+        gc, pc = (int(x) for x in combo.split(","))
+        pallas_cycle._GATHER_CHUNK = gc
+        pallas_cycle._PROBE_CHUNK = pc
+        # chunk constants are read at trace time, not part of the jit key
         pallas_cycle._score_candidates_pallas.clear_cache()
 
         def body(v, _):
@@ -105,8 +97,8 @@ def main():
                 cl1, ca1, tl1, gv, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
                 dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
-                n_steps=n_steps)
-            return v + dtype(0.001), (jnp.min(costs), jnp.sum(reason))
+                n_steps=n_steps, tile_k=args.tile)
+            return v + dtype(0.001), (costs, kin, reason)
 
         raw = jax.jit(lambda v0, body=body: jax.lax.scan(
             body, v0, None, length=args.n_scan))
@@ -121,17 +113,26 @@ def main():
                     jax.block_until_ready(out)
                     times.append(time.time() - t0)
         except Exception as exc:                              # noqa: BLE001
-            print(f"{name:16s}: FAILED {type(exc).__name__}: "
-                  f"{str(exc)[:160]}")
+            print(f"g={gc:2d} p={pc:2d}: FAILED {type(exc).__name__}: "
+                  f"{str(exc)[:200]}")
             continue
+        rows = [np.asarray(x) for x in out[1]]
+        if baseline_out is None:
+            baseline_out = rows
+            parity = "baseline"
+        else:
+            mism = sum(int((~np.isclose(a, b, equal_nan=True, rtol=0,
+                                        atol=0)).sum())
+                       for a, b in zip(rows, baseline_out))
+            parity = "BIT-IDENTICAL" if mism == 0 else f"{mism} MISMATCHES"
         per_launch = min(times) / args.n_scan
-        if baseline is None:
-            baseline = per_launch
-        print(f"{name:16s}: {per_launch * 1e6:8.1f} us/launch "
+        if baseline_t is None:
+            baseline_t = per_launch
+        print(f"g={gc:2d} p={pc:2d}: {per_launch * 1e6:8.1f} us/launch "
               f"{K / per_launch / 1e6:7.2f} M evals/s   "
-              f"delta vs full: {(baseline - per_launch) * 1e6:+8.1f} us "
-              f"({(baseline - per_launch) / baseline * 100:+5.1f}%)")
-    pallas_cycle._ABLATE = frozenset()
+              f"({baseline_t / per_launch:5.2f}x)   parity: {parity}")
+    pallas_cycle._GATHER_CHUNK = 1
+    pallas_cycle._PROBE_CHUNK = 1
 
 
 if __name__ == "__main__":

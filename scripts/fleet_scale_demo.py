@@ -167,16 +167,48 @@ def main():
     if args.goal_check and args.pallas:
         from commonroad_rp_tpu.models.state import ReactivePlannerState
 
+        def position_only_states(goal, shifted_states):
+            """Indices of recorded states whose POSITION satisfies some goal
+            state (ignoring time/velocity/orientation constraints)."""
+            hits = []
+            for i, st in enumerate(shifted_states):
+                for gs in goal.state_list:
+                    if not (gs.position_shapes or gs.position_lanelets):
+                        continue
+                    in_shape = any(s.contains_point(st.position)
+                                   for s in gs.position_shapes)
+                    in_lanelet = False
+                    if gs.position_lanelets and goal.lanelet_network:
+                        in_lanelet = any(
+                            goal.lanelet_network.find_lanelet_by_id(lid)
+                            .contains_point(st.position)
+                            for lid in gs.position_lanelets)
+                    if in_shape or in_lanelet:
+                        hits.append((i, gs))
+                        break
+            return hits
+
         alive = np.asarray(metrics[0])                       # [C, F]
         xs, ys = np.asarray(metrics[2]), np.asarray(metrics[3])
         thetas, vs = np.asarray(metrics[8]), np.asarray(metrics[9])
         per_scenario = {name: [0, 0] for name in SCENARIOS}  # [reached, total]
+        # miss classification (VERDICT r3 item 7): a miss whose recorded
+        # trace ENTERS the goal position outside the admissible time window
+        # is a TIMING miss (measured distance in steps), velocity-interval
+        # violations at in-position states are VELOCITY misses, traces that
+        # never touch the goal position are PLANNING misses
+        miss_detail = {name: {"timing": 0, "timing_steps": [], "velocity": 0,
+                              "planning": 0, "dead": 0}
+                       for name in SCENARIOS}
         for f in range(args.fleet_size):
             goal, wb_rear = goals[base_idx[f]]
             name = SCENARIOS[base_idx[f] // len(vehicle_ids)]
             per_scenario[name][1] += 1
+            states = []
+            died = False
             for c in range(args.cycles):
                 if not alive[c, f]:
+                    died = True
                     break
                 state = ReactivePlannerState(
                     time_step=(c + 1) * args.freq,
@@ -184,12 +216,43 @@ def main():
                     orientation=float(thetas[c, f]),
                     velocity=float(vs[c, f]), acceleration=0.0, yaw_rate=0.0,
                     steering_angle=0.0)
-                if goal.is_reached(state.shift_positions_to_center(wb_rear)):
-                    per_scenario[name][0] += 1
-                    break
+                states.append(state.shift_positions_to_center(wb_rear))
+            reached_at = next((i for i, st in enumerate(states)
+                               if goal.is_reached(st)), None)
+            if reached_at is not None:
+                per_scenario[name][0] += 1
+                continue
+            pos_hits = position_only_states(goal, states)
+            if not pos_hits:
+                miss_detail[name]["dead" if died else "planning"] += 1
+                continue
+            # in-position at some step: which constraint rejected it?
+            time_dists = []
+            vel_miss = False
+            for i, gs in pos_hits:
+                st = states[i]
+                if gs.time_step is not None \
+                        and not gs.time_step.contains(st.time_step):
+                    time_dists.append(int(min(
+                        abs(st.time_step - gs.time_step.start),
+                        abs(st.time_step - gs.time_step.end))))
+                elif gs.velocity is not None \
+                        and not gs.velocity.contains(st.velocity):
+                    vel_miss = True
+            if time_dists:
+                miss_detail[name]["timing"] += 1
+                miss_detail[name]["timing_steps"].append(min(time_dists))
+            elif vel_miss:
+                miss_detail[name]["velocity"] += 1
+            else:
+                miss_detail[name]["planning"] += 1
         result["goal_reached"] = {
             name: f"{reached}/{total}"
             for name, (reached, total) in per_scenario.items()}
+        result["miss_detail"] = {
+            name: {k: v for k, v in d.items() if v}
+            for name, d in miss_detail.items()
+            if per_scenario[name][1] > per_scenario[name][0]}
 
     print(json.dumps(result))
 

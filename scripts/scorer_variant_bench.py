@@ -69,6 +69,7 @@ def main():
     corridor1 = collision_ops.CorridorArrays(
         d_lo=scene.corridor_lo[0], d_hi=scene.corridor_hi[0])
     packed = pallas_cycle.pack_ref_tables(ref1, corridor1)
+    pre = pallas_cycle.precompute_scorer_tables(packed)
     ref_s_last = pallas_cycle.true_path_length(ref1)
     obstacles1 = collision_ops.ObstacleArrays(
         pose=scene.obs_pose[0, :, :n_steps + 1], half_ext=scene.obs_half[0],
@@ -88,7 +89,7 @@ def main():
             costs, kin, reason = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, gv, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
                 n_steps=n_steps, tile_k=tile)
             return v + dtype(0.001), (jnp.min(costs), jnp.argmin(costs),
                                       jnp.sum(jnp.isfinite(kin)),
