@@ -22,6 +22,7 @@ import numpy as np
 from commonroad_rp_tpu.models.cost_functions import (CostFunction,
                                                      DefaultCostFunction)
 from commonroad_rp_tpu.models.sampling import (CandidateBatch,
+                                               CorridorSampling,
                                                PositionSampling, SamplingSpace,
                                                TimeSampling, VelocitySampling,
                                                sampling_space_factory)
@@ -642,11 +643,24 @@ class ReactivePlanner:
             s_window = (float(samples_s.low), float(samples_s.up))
 
         cs = self.config.sampling
-        grids = tuple(
-            grid_ops.make_static_grid(level, cs.t_min, self.horizon, self.dt,
-                                      cs.d_min, cs.d_max,
-                                      cs.num_sampling_levels)
-            for level in range(1, self.sampling_level))
+        corridor_grids = None
+        corridor_pin = None
+        if isinstance(self.sampling_space, CorridorSampling):
+            corridor_pin = self.sampling_space.driving_corridor
+            if corridor_pin is None:
+                raise ValueError("corridor sampling: set driving_corridor "
+                                 "before plan_scan")
+            corridor_grids = tuple(
+                grid_ops.make_corridor_grid(self.sampling_space, level,
+                                            self.dt)
+                for level in range(1, self.sampling_level))
+            grids = ()
+        else:
+            grids = tuple(
+                grid_ops.make_static_grid(level, cs.t_min, self.horizon,
+                                          self.dt, cs.d_min, cs.d_max,
+                                          cs.num_sampling_levels)
+                for level in range(1, self.sampling_level))
 
         # full-span obstacle tables: every scenario step the scan can touch,
         # sampled at planning.factor stride (one table row per PLANNED step,
@@ -672,14 +686,18 @@ class ReactivePlanner:
                      float(getattr(cf, "w_a", 5.0)),
                      float(getattr(cf, "desired_d", 0.0)), ctx["flags"],
                      longitudinal_mode, desired_s, s_window, lookahead,
-                     factor, boundary_mode, continuous)
+                     factor, boundary_mode, continuous,
+                     None if corridor_pin is None else id(corridor_pin))
         cache = getattr(self, "_plan_scan_cache", None)
         if cache is None:
             from collections import OrderedDict
             cache = self._plan_scan_cache = OrderedDict()
-        if cache_key in cache:
+        hit = cache.get(cache_key)
+        # the cached value pins the corridor object: an id() key alone could
+        # alias a NEW corridor allocated at a freed one's address
+        if hit is not None and hit[1] is corridor_pin:
             cache.move_to_end(cache_key)          # LRU refresh
-            run = cache[cache_key]
+            run = hit[0]
         else:
             run = pallas_fleet.make_facade_replanning_scan(
                 self._co.tables, corridor, obstacles_full, ctx["veh"], grids,
@@ -692,10 +710,10 @@ class ReactivePlanner:
                 s_window=s_window, standstill_lookahead=lookahead,
                 boundary=ctx["boundary"] if boundary_mode == "segments"
                 else None,
-                continuous=continuous)
+                continuous=continuous, corridor_grids=corridor_grids)
             # LRU over the last few built scans: mode-alternating missions
             # (velocity-keeping <-> stopping) must not retrace per switch
-            cache[cache_key] = run
+            cache[cache_key] = (run, corridor_pin)
             self._plan_scan_builds = getattr(self, "_plan_scan_builds", 0) + 1
             while len(cache) > 4:
                 cache.popitem(last=False)

@@ -138,7 +138,6 @@ def candidate_lon_span(x0_lon: jnp.ndarray, lon_min: jnp.ndarray,
     guarantees exactness for any sound bounds.
     """
     dtype = x0_lon.dtype
-    T = n_steps + 1
     t_g = jnp.asarray(grid.t_values, dtype)                       # [Nt]
     lon_g = jnp.linspace(lon_min, lon_max, grid.n_lon, dtype=dtype)
     T_, L_ = jnp.meshgrid(t_g, lon_g, indexing="ij")              # [Nt, Nl]
@@ -150,15 +149,29 @@ def candidate_lon_span(x0_lon: jnp.ndarray, lon_min: jnp.ndarray,
     else:
         c = poly.quartic_coeffs(jnp.broadcast_to(x0_lon, shape + (3,)),
                                 L_, T_)
+    lens = jnp.broadcast_to(
+        jnp.asarray(grid.traj_len, jnp.int32)[:, None], shape)
+    return _span_from_coeffs(c, lens, dt, n_steps)
+
+
+def _span_from_coeffs(c: jnp.ndarray, lens: jnp.ndarray, dt: float,
+                      n_steps: int):
+    """(lo, hi) arclength span of longitudinal polynomials [..., 6] with
+    per-candidate step counts [...], incl. the constant-velocity enlarge
+    extension to T = n_steps + 1."""
+    dtype = c.dtype
+    T = n_steps + 1
     dt_c = jnp.asarray(dt, dtype)
-    tq = (jnp.arange(T, dtype=dtype) * dt_c)[None, None, :]
-    s_all = (((((c[..., 5:6] * tq + c[..., 4:5]) * tq + c[..., 3:4]) * tq
-               + c[..., 2:3]) * tq + c[..., 1:2]) * tq + c[..., 0:1])
-    lens = jnp.asarray(grid.traj_len, jnp.int32)[:, None]         # [Nt, 1]
-    act = jnp.arange(T, dtype=jnp.int32)[None, None, :] < lens[..., None]
+    tq = (jnp.arange(T, dtype=dtype) * dt_c).reshape(
+        (1,) * lens.ndim + (T,))
+    ce = c[..., None, :]                                      # [..., 1, 6]
+    s_all = (((((ce[..., 5] * tq + ce[..., 4]) * tq + ce[..., 3]) * tq
+               + ce[..., 2]) * tq + ce[..., 1]) * tq + ce[..., 0])
+    act = jnp.arange(T, dtype=jnp.int32).reshape(
+        (1,) * lens.ndim + (T,)) < lens[..., None]
     s_min = jnp.min(jnp.where(act, s_all, jnp.inf))
     s_max = jnp.max(jnp.where(act, s_all, -jnp.inf))
-    tau = (lens - 1).astype(dtype) * dt_c                         # [Nt, 1]
+    tau = (lens - 1).astype(dtype) * dt_c
     sl = ((((c[..., 5] * tau + c[..., 4]) * tau + c[..., 3]) * tau
            + c[..., 2]) * tau + c[..., 1]) * tau + c[..., 0]
     sd = (((5.0 * c[..., 5] * tau + 4.0 * c[..., 4]) * tau
@@ -167,3 +180,119 @@ def candidate_lon_span(x0_lon: jnp.ndarray, lon_min: jnp.ndarray,
     ext_hi = jnp.max(sl + t_ext * jnp.maximum(sd, 0.0))
     ext_lo = jnp.min(sl + t_ext * jnp.minimum(sd, 0.0))
     return jnp.minimum(s_min, ext_lo), jnp.maximum(s_max, ext_hi)
+
+
+class CorridorGrid(NamedTuple):
+    """Dense corridor lattice tables for one sampling level (device scan
+    counterpart of models.sampling.CorridorSampling.corridor_tables).
+
+    Static shapes; the candidate set is the full (t, v, interval, d-slot)
+    lattice with a validity mask (the host path compresses the same mask;
+    lattice enumeration order matches, so argmin tie-breaking agrees).
+    """
+
+    t_values: Tuple[float, ...]       # [Nt]
+    traj_len: Tuple[int, ...]         # [Nt]
+    num: int                          # samples per interval at this level
+    v_bounds: jnp.ndarray             # [Nt, 2]
+    lat: jnp.ndarray                  # [Nt, I, 4] (s_lo, s_hi, d_lo, d_hi)
+    lat_valid: jnp.ndarray            # [Nt, I]
+
+    @property
+    def size(self) -> int:
+        n_iv = self.lat.shape[1]
+        return len(self.t_values) * self.num * n_iv * (self.num + 1)
+
+
+def make_corridor_grid(sampling_space, level: int, dt: float) -> CorridorGrid:
+    """CorridorGrid from a CorridorSampling space with its corridor set."""
+    ts, v_bounds, lat, lat_valid = sampling_space.corridor_tables(level)
+    return CorridorGrid(
+        t_values=tuple(float(t) for t in ts),
+        traj_len=tuple(int(v) for v in traj_length_steps(ts, dt)),
+        num=int(sampling_space._num_samples[level]),
+        v_bounds=jnp.asarray(v_bounds, jnp.float32),
+        lat=jnp.asarray(lat, jnp.float32),
+        lat_valid=jnp.asarray(lat_valid))
+
+
+def corridor_candidates(x0_lon: jnp.ndarray, x0_lat: jnp.ndarray,
+                        cg: CorridorGrid):
+    """Corridor-mode candidate batch on device: the same broadcasted
+    (t, v, interval, d-slot) lattice as the host path
+    (models.sampling.CorridorSampling.generate_trajectories_at_level,
+    reference sampling.py:340-397), kept DENSE with a goal_valid mask
+    instead of host-side compression.
+
+    Returns (coeffs_lon [K, 6], coeffs_lat [K, 6], traj_len [K],
+    goal_valid [K]) with K = Nt * num * I * (num + 1).
+    """
+    dtype = x0_lon.dtype
+    num = cg.num
+    ts = jnp.asarray(cg.t_values, dtype)                          # [Nt]
+    vb = cg.v_bounds.astype(dtype)
+    lat = cg.lat.astype(dtype)
+    idx = jnp.arange(num, dtype=dtype)
+
+    def linspace_rows(lo, hi):
+        # np.linspace's exact construction with the endpoint forced
+        step = (hi - lo) / (num - 1)
+        rows = lo[..., None] + idx * step[..., None]
+        return rows.at[..., -1].set(hi)
+
+    V = linspace_rows(vb[:, 0], vb[:, 1])                         # [Nt, num]
+    v_keep = jnp.concatenate(
+        [jnp.ones_like(V[:, :1], dtype=bool), V[:, 1:] != V[:, :-1]], axis=1)
+
+    c_lon = poly.quartic_coeffs(
+        jnp.broadcast_to(x0_lon, V.shape + (3,)), V, ts[:, None])  # [Nt,num,6]
+    s_end = poly.eval_position(c_lon, jnp.broadcast_to(ts[:, None], V.shape))
+
+    sel = (cg.lat_valid[:, None, :]
+           & (lat[:, None, :, 0] <= s_end[:, :, None])
+           & (s_end[:, :, None] <= lat[:, None, :, 1]))           # [Nt,num,I]
+
+    d_lo, d_hi = lat[:, :, 2], lat[:, :, 3]                       # [Nt, I]
+    D = linspace_rows(d_lo, d_hi)                                 # [Nt,I,num]
+    zero_slot = jnp.where((d_lo < 0) & (d_hi > 0), 0.0, jnp.inf)
+    D_all = jnp.concatenate([D, zero_slot[:, :, None]], axis=-1)
+    D_sorted = jnp.sort(D_all, axis=-1)                           # [Nt,I,num+1]
+    d_keep = jnp.concatenate(
+        [jnp.ones_like(D_sorted[..., :1], dtype=bool),
+         D_sorted[..., 1:] != D_sorted[..., :-1]], axis=-1)
+    d_keep = d_keep & jnp.isfinite(D_sorted)
+    # inf slots are masked out; zero them so lateral coefficients stay finite
+    D_safe = jnp.where(jnp.isfinite(D_sorted), D_sorted, 0.0)
+
+    mask = (sel & v_keep[:, :, None])[..., None] \
+        & d_keep[:, None, :, :]                          # [Nt,num,I,num+1]
+    shape = mask.shape
+    T_g = jnp.broadcast_to(ts[:, None, None, None], shape)
+    D_g = jnp.broadcast_to(D_safe[:, None, :, :], shape)
+    c_lon_g = jnp.broadcast_to(c_lon[:, :, None, None, :], shape + (6,))
+
+    # corridor sampling keeps tau_lat = t (host path, sampling.py:394)
+    xd_lat = jnp.stack([D_g, jnp.zeros_like(D_g), jnp.zeros_like(D_g)],
+                       axis=-1)
+    c_lat = poly.quintic_coeffs(jnp.broadcast_to(x0_lat, shape + (3,)),
+                                xd_lat, T_g)
+
+    traj_len = jnp.broadcast_to(
+        jnp.asarray(cg.traj_len, jnp.int32)[:, None, None, None], shape)
+    return (c_lon_g.reshape(-1, 6), c_lat.reshape(-1, 6),
+            traj_len.reshape(-1), mask.reshape(-1))
+
+
+def corridor_lon_span(x0_lon: jnp.ndarray, cg: CorridorGrid,
+                      dt: float, n_steps: int):
+    """Sound arclength span of the corridor lattice: the quartic is linear
+    in the target velocity, so extremes lie on the per-time velocity-bound
+    corners [Nt, 2]."""
+    dtype = x0_lon.dtype
+    ts = jnp.asarray(cg.t_values, dtype)
+    vb = cg.v_bounds.astype(dtype)                                # [Nt, 2]
+    c = poly.quartic_coeffs(jnp.broadcast_to(x0_lon, vb.shape + (3,)),
+                            vb, ts[:, None])
+    lens = jnp.broadcast_to(
+        jnp.asarray(cg.traj_len, jnp.int32)[:, None], vb.shape)
+    return _span_from_coeffs(c, lens, dt, n_steps)

@@ -420,7 +420,8 @@ def make_facade_replanning_scan(ref: RefPathTables,
                                 s_window: tuple | None = None,
                                 standstill_lookahead: int = 10,
                                 boundary=None,
-                                continuous: bool = False):
+                                continuous: bool = False,
+                                corridor_grids: tuple | None = None):
     """Device-resident facade loop: ``n_cycles`` of fused level-escalated
     planning cycles in ONE dispatch (``ReactivePlanner.plan_scan``).
 
@@ -464,7 +465,8 @@ def make_facade_replanning_scan(ref: RefPathTables,
 
     dtype = jnp.float32
     T = n_steps + 1
-    n_levels = len(static_grids)
+    n_levels = len(corridor_grids) if corridor_grids is not None \
+        else len(static_grids)
     M = obstacles_full.pose.shape[0]
     pose_all = obstacles_full.pose.astype(dtype)
     half_all = obstacles_full.half_ext.astype(dtype)
@@ -479,13 +481,21 @@ def make_facade_replanning_scan(ref: RefPathTables,
         t_full = max(t_full, poly_all.shape[1])
 
     # static union layout: per-level sizes + appended-d-sample positions
-    sizes = []
-    appended = []
-    for g in static_grids:
-        nd1 = len(g.d_values) + 1
-        k_l = len(g.t_values) * g.n_lon * nd1
-        sizes.append(k_l)
-        appended.append((np.arange(k_l) % nd1) == nd1 - 1)
+    # (corridor mode: CorridorGrid lattices replace the static grids;
+    # CorridorSampling has no appended-d union, reference sampling.py:340)
+    if corridor_grids is not None:
+        if longitudinal_mode != "velocity_keeping":
+            raise ValueError("corridor sampling: velocity_keeping only "
+                             "(reference sampling.py:340-397)")
+        sizes = [cg.size for cg in corridor_grids]
+    else:
+        sizes = []
+        appended = []
+        for g in static_grids:
+            nd1 = len(g.d_values) + 1
+            k_l = len(g.t_values) * g.n_lon * nd1
+            sizes.append(k_l)
+            appended.append((np.arange(k_l) % nd1) == nd1 - 1)
     level_ids = jnp.asarray(np.concatenate(
         [np.full(k, j, np.int32) for j, k in enumerate(sizes)]))
 
@@ -530,29 +540,47 @@ def make_facade_replanning_scan(ref: RefPathTables,
 
         cls, cas, tls, gvs = [], [], [], []
         span_lo = span_hi = None
-        for g, app in zip(static_grids, appended):
-            if stopping:
-                cl, ca, tl, gv_goal = grid_ops.stopping_candidates(
-                    carry.x0_lon, carry.x0_lat,
-                    jnp.asarray(s_window[0], dtype),
-                    jnp.asarray(s_window[1], dtype), low_vel, g)
-                lon_lo = jnp.asarray(s_window[0], dtype)
-                lon_hi = jnp.asarray(s_window[1], dtype)
-            else:
-                cl, ca, tl = grid_ops.velocity_keeping_candidates(
-                    carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
-                gv_goal = True
-                lon_lo, lon_hi = v_min, v_max
-            lo_g, hi_g = grid_ops.candidate_lon_span(
-                carry.x0_lon, lon_lo, lon_hi, g, dt, n_steps,
-                stopping=stopping)
-            span_lo = lo_g if span_lo is None else jnp.minimum(span_lo, lo_g)
-            span_hi = hi_g if span_hi is None else jnp.maximum(span_hi, hi_g)
-            dup = jnp.any(jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
-            gvs.append(~(jnp.asarray(app) & dup) & gv_goal)
-            cls.append(cl)
-            cas.append(ca)
-            tls.append(tl)
+        if corridor_grids is not None:
+            for cg in corridor_grids:
+                cl, ca, tl, gv_l = grid_ops.corridor_candidates(
+                    carry.x0_lon, carry.x0_lat, cg)
+                lo_g, hi_g = grid_ops.corridor_lon_span(
+                    carry.x0_lon, cg, dt, n_steps)
+                span_lo = lo_g if span_lo is None \
+                    else jnp.minimum(span_lo, lo_g)
+                span_hi = hi_g if span_hi is None \
+                    else jnp.maximum(span_hi, hi_g)
+                cls.append(cl)
+                cas.append(ca)
+                tls.append(tl)
+                gvs.append(gv_l)
+        else:
+            for g, app in zip(static_grids, appended):
+                if stopping:
+                    cl, ca, tl, gv_goal = grid_ops.stopping_candidates(
+                        carry.x0_lon, carry.x0_lat,
+                        jnp.asarray(s_window[0], dtype),
+                        jnp.asarray(s_window[1], dtype), low_vel, g)
+                    lon_lo = jnp.asarray(s_window[0], dtype)
+                    lon_hi = jnp.asarray(s_window[1], dtype)
+                else:
+                    cl, ca, tl = grid_ops.velocity_keeping_candidates(
+                        carry.x0_lon, carry.x0_lat, v_min, v_max, low_vel, g)
+                    gv_goal = True
+                    lon_lo, lon_hi = v_min, v_max
+                lo_g, hi_g = grid_ops.candidate_lon_span(
+                    carry.x0_lon, lon_lo, lon_hi, g, dt, n_steps,
+                    stopping=stopping)
+                span_lo = lo_g if span_lo is None \
+                    else jnp.minimum(span_lo, lo_g)
+                span_hi = hi_g if span_hi is None \
+                    else jnp.maximum(span_hi, hi_g)
+                dup = jnp.any(
+                    jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
+                gvs.append(~(jnp.asarray(app) & dup) & gv_goal)
+                cls.append(cl)
+                cas.append(ca)
+                tls.append(tl)
         cl = jnp.concatenate(cls)
         ca = jnp.concatenate(cas)
         tl = jnp.concatenate(tls)

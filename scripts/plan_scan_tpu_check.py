@@ -71,7 +71,8 @@ def main():
     from commonroad_rp_tpu.parallel.pallas_fleet import FacadeScanCarry
     import jax.numpy as jnp
     # LRU cache (round 4): most recently built scan is the last entry
-    run = next(reversed(p._plan_scan_cache.values()))
+    # (value = (run, corridor_pin))
+    run = next(reversed(p._plan_scan_cache.values()))[0]
     x0_lon, x0_lat = p.x_0_cl
     carry = FacadeScanCarry(
         x0_lon=jnp.asarray(np.asarray(x0_lon), jnp.float32),

@@ -188,3 +188,133 @@ def test_corridor_sampling_vectorized_matches_loop(repo_root):
             np.testing.assert_allclose(
                 getattr(got, field), getattr(want, field),
                 rtol=5e-16, atol=0.0, err_msg=f"level {level}: {field}")
+
+
+def _fast_corridor_planner(repo_root, fast: bool):
+    """Corridor-sampling planner with the fast-scoring flags resolved at
+    CONSTRUCTION (kernel_dtype is read when the planner is built)."""
+    config = ReactivePlannerConfiguration.load(
+        repo_root / "configurations" / "ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+    config.general.path_scenarios = str(repo_root / "example_scenarios") + "/"
+    config.general.set_path_scenario("ZAM_Over-1_1.xml")
+    config.update()
+    config.sampling.sampling_method = 2
+    config.debug.fast_scoring = fast
+    config.debug.kernel_dtype = "float32"
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.x_0_cl = planner._compute_initial_states(planner.x_0)
+    return planner
+
+
+def test_corridor_candidates_device_matches_host(repo_root):
+    """Device corridor lattice (ops.grid.corridor_candidates, the plan_scan
+    generation path) reproduces the host CorridorSampling batch: identical
+    candidate set and lattice order under goal_valid compression."""
+    import jax.numpy as jnp
+
+    from commonroad_rp_tpu.ops import grid as grid_ops
+
+    planner = _base_planner(repo_root, sampling_method=2)
+    x0_lon, x0_lat = planner.x_0_cl
+    planner.sampling_space.driving_corridor = _corridor_for(
+        x0_lon[0], planner.x_0.velocity, d_band=3.5)
+    for level in (1, 2, 3):
+        batch = planner.sampling_space.generate_trajectories_at_level(
+            level, np.asarray(x0_lon), np.asarray(x0_lat),
+            "velocity_keeping", False)
+        cg = grid_ops.make_corridor_grid(planner.sampling_space, level,
+                                         planner.dt)
+        cl, ca, tl, gv = grid_ops.corridor_candidates(
+            jnp.asarray(np.asarray(x0_lon), jnp.float32),
+            jnp.asarray(np.asarray(x0_lat), jnp.float32), cg)
+        gv = np.asarray(gv)
+        assert int(gv.sum()) == batch.size, f"level {level}"
+        np.testing.assert_allclose(np.asarray(cl)[gv], batch.coeffs_lon,
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"level {level}")
+        np.testing.assert_allclose(np.asarray(ca)[gv], batch.coeffs_lat,
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"level {level}")
+        np.testing.assert_array_equal(np.asarray(tl)[gv], batch.traj_len,
+                                      err_msg=f"level {level}")
+
+
+@pytest.mark.slow
+def test_corridor_plan_scan_matches_host_loop(repo_root):
+    """Corridor-mode plan_scan (VERDICT r3 item 3): the device scan with
+    on-device corridor lattice generation drives ZAM_Over to the goal with
+    the same trajectory as the host corridor replanning loop."""
+    def _host_loop(repo_root):
+        planner = _fast_corridor_planner(repo_root, fast=True)
+        x0_lon, _ = planner.x_0_cl
+        corridor = _corridor_for(x0_lon[0], planner.x_0.velocity, d_band=3.5,
+                                 steps=40)
+        planner.sampling_space.driving_corridor = corridor
+        planner.record_state_and_input(planner.x_0)
+        optimal = None
+        freq = planner.config.planning.replanning_frequency
+        while not planner.goal_reached() and \
+                len(planner.record_state_list) <= 60:
+            count = len(planner.record_state_list) - 1
+            if count % freq == 0:
+                planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+                optimal = planner.plan()
+                if not optimal:
+                    break
+                offset = 1
+            else:
+                offset = 1 + count % freq
+            planner.record_state_and_input(optimal[0].state_list[offset])
+            planner.reset(initial_state_cart=planner.record_state_list[-1],
+                          initial_state_curv=(optimal[2][offset],
+                                              optimal[3][offset]),
+                          collision_checker=planner.collision_checker,
+                          coordinate_system=planner.coordinate_system)
+        return planner
+
+    host = _host_loop(repo_root)
+    assert host.goal_reached()
+    want = host.record_state_list
+
+    planner = _fast_corridor_planner(repo_root, fast=True)
+    x0_lon, _ = planner.x_0_cl
+    planner.sampling_space.driving_corridor = _corridor_for(
+        x0_lon[0], planner.x_0.velocity, d_band=3.5, steps=40)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    planner.record_state_and_input(planner.x_0)
+    info = planner.plan_scan(14)
+
+    assert info["goal_reached"]
+    got = planner.record_state_list
+    assert len(got) == len(want), (len(got), len(want))
+    for a, b in zip(want, got):
+        assert a.time_step == b.time_step
+        np.testing.assert_allclose(b.position, a.position, atol=5e-3)
+        np.testing.assert_allclose(b.velocity, a.velocity, atol=5e-3)
+
+
+def test_corridor_fast_path_matches_xla(repo_root):
+    """Corridor batches through the fused Pallas fast path: plan() with
+    fast_scoring on/off picks the same trajectory (the kernel is
+    batch-agnostic; corridor candidates need no fallback)."""
+    results = []
+    for fast in (False, True):
+        planner = _fast_corridor_planner(repo_root, fast=fast)
+        x0_lon, _ = planner.x_0_cl
+        planner.sampling_space.driving_corridor = _corridor_for(
+            x0_lon[0], planner.x_0.velocity, d_band=3.5)
+        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        result = planner.plan()
+        assert result is not None
+        results.append(result)
+    xla, fast = results
+    np.testing.assert_allclose(
+        [s.velocity for s in fast[0].state_list],
+        [s.velocity for s in xla[0].state_list], atol=1e-4)
+    np.testing.assert_allclose(
+        np.stack([s.position for s in fast[0].state_list]),
+        np.stack([s.position for s in xla[0].state_list]), atol=1e-4)
