@@ -552,18 +552,17 @@ class ReactivePlanner:
             desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
 
         # kernel_ok: the fused Pallas scorer applies at all (float32 layout,
-        # default cost with a speed target).  fast_ok additionally excludes
-        # the modes the KERNEL cannot mask densely (continuous swept pass,
-        # exact segment boundary) — plan_scan still accepts those via its
-        # lazy winner-refinement loop (pallas_fleet.make_facade_replanning_
-        # scan), while the per-cycle fused plan() path falls back to XLA
+        # default cost with a speed target).  The modes the KERNEL cannot
+        # mask densely — the continuous swept pass and the exact 'segments'
+        # boundary SAT — run as LAZY per-winner refinement on every fused
+        # path (plan_scan, fused escalation, single-level fast), so the
+        # whole reference configuration class stays on the fast path
         kernel_ok = (self.config.debug.fast_scoring
                      and self._dtype == jnp.float32
                      and not self._draw_traj_set
                      and cf.structure[0] == "default" and cf.structure[1])
-        fast_ok = (kernel_ok
-                   and not self.config.planning.continuous_collision_check
-                   and boundary_mode in ("corridor", "none"))
+        fast_ok = kernel_ok \
+            and boundary_mode in ("corridor", "none", "segments")
         return dict(veh=veh, obstacles=obstacles, boundary=boundary,
                     boundary_mode=boundary_mode, corridor=corridor,
                     flags=flags, cost_params=cost_params, fast_ok=fast_ok,
@@ -830,7 +829,9 @@ class ReactivePlanner:
         if ctx["fast_ok"]:
             return self._get_optimal_trajectory_fast(
                 batch, goal_valid, veh, obstacles, corridor, flags,
-                cost_params)
+                cost_params,
+                boundary=boundary if boundary_mode == "segments" else None,
+                continuous=self.config.planning.continuous_collision_check)
 
         t0 = time.time()
         result = cycle_ops.evaluate_level(
@@ -958,9 +959,11 @@ class ReactivePlanner:
             jnp.asarray(level_ids), self._co.tables, ctx["veh"],
             ctx["obstacles"], corridor,
             jnp.asarray(self.x_0.orientation, dtype), ctx["cost_params"],
+            ctx["boundary"] if ctx["boundary_mode"] == "segments" else None,
             dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
             cost_structure=self.cost_function.structure,
             constraint_flags=ctx["flags"], n_levels=len(levels),
+            continuous=self.config.planning.continuous_collision_check,
             interpret=_jax.default_backend() != "tpu")
         scalars, optimal_packed = _jax.device_get((result.scalars,
                                                    result.optimal))
@@ -995,7 +998,8 @@ class ReactivePlanner:
 
     def _get_optimal_trajectory_fast(self, batch: CandidateBatch, goal_valid,
                                      veh, obstacles, corridor, flags,
-                                     cost_params):
+                                     cost_params, boundary=None,
+                                     continuous: bool = False):
         """Level evaluation on the fused Pallas scorer
         (``config.debug.fast_scoring``).
 
@@ -1017,10 +1021,10 @@ class ReactivePlanner:
             jnp.asarray(batch.coeffs_lat, dtype),
             jnp.asarray(batch.traj_len), jnp.asarray(goal_valid),
             self._co.tables, veh, obstacles, corridor,
-            jnp.asarray(self.x_0.orientation, dtype), cost_params,
+            jnp.asarray(self.x_0.orientation, dtype), cost_params, boundary,
             dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
             cost_structure=self.cost_function.structure,
-            constraint_flags=flags,
+            constraint_flags=flags, continuous=continuous,
             interpret=jax.default_backend() != "tpu")
         import jax as _jax
         scalars, optimal_packed = _jax.device_get((result.scalars,

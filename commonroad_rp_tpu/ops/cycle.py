@@ -216,7 +216,8 @@ def evaluate_levels_fast(*args, **kwargs):
 @functools.partial(
     jax.jit,
     static_argnames=("dt", "n_steps", "low_vel_mode", "cost_structure",
-                     "constraint_flags", "n_levels", "interpret"))
+                     "constraint_flags", "n_levels", "continuous",
+                     "interpret"))
 def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
                           coeffs_lat: jnp.ndarray,
                           traj_len: jnp.ndarray,
@@ -228,6 +229,7 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
                           corridor: collision_ops.CorridorArrays,
                           x0_orientation: jnp.ndarray,
                           cost_params: CostParams,
+                          boundary: collision_ops.BoundaryArrays = None,
                           *,
                           dt: float,
                           n_steps: int,
@@ -235,6 +237,7 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
                           cost_structure: tuple,
                           constraint_flags: tuple,
                           n_levels: int,
+                          continuous: bool = False,
                           interpret: bool = False) -> FastLevelResult:
     """ALL sampling levels fused into ONE device dispatch (fast path).
 
@@ -247,6 +250,12 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
     iteration).  One kernel launch + one [6] scalar / [14, T] readback serve
     the whole cycle, instead of one dispatch (and one compile signature)
     per level.
+
+    ``boundary`` (exact 'segments' road-boundary SAT) and ``continuous``
+    (swept-OBB pass, reference :1049-1058) run as LAZY per-winner
+    refinement: a while_loop re-rolls the current winner, applies the exact
+    XLA checks, and masks a colliding winner to +inf before re-selecting —
+    the reference's sorted lazy iteration.
     """
     masked, kin, reasons = _score_union_fast(
         coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh, obstacles,
@@ -254,6 +263,59 @@ def _evaluate_levels_fast(coeffs_lon: jnp.ndarray,
         low_vel_mode=low_vel_mode, cost_structure=cost_structure,
         constraint_flags=constraint_flags, interpret=interpret)
     dtype = masked.dtype
+
+    refine_segments = boundary is not None and boundary.segments.shape[0] > 0
+    if refine_segments or continuous:
+        ref32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), ref)
+        veh32 = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), veh)
+        if continuous:
+            opt32 = lambda a: None if a is None \
+                else jnp.asarray(a, jnp.float32)
+            obstacles = collision_ops.ObstacleArrays(
+                pose=jnp.asarray(obstacles.pose, jnp.float32),
+                half_ext=jnp.asarray(obstacles.half_ext, jnp.float32),
+                valid=jnp.asarray(obstacles.valid, bool),
+                radius=opt32(obstacles.radius),
+                poly_verts=opt32(obstacles.poly_verts),
+                poly_valid=None if obstacles.poly_valid is None
+                else jnp.asarray(obstacles.poly_valid, bool))
+        if refine_segments:
+            bound32 = collision_ops.BoundaryArrays(
+                segments=jnp.asarray(boundary.segments, jnp.float32),
+                valid=jnp.asarray(boundary.valid))
+            T = n_steps + 1
+            empty_obs = collision_ops.ObstacleArrays(
+                pose=jnp.zeros((0, T, 3), jnp.float32),
+                half_ext=jnp.zeros((0, 2), jnp.float32),
+                valid=jnp.zeros((0, T), dtype=bool))
+
+        def check_winner(m):
+            found_i, bi, *_ = select_across_levels(m, kin, goal_valid,
+                                                   level_ids, n_levels)
+            ro = kinematics.rollout(
+                coeffs_lon[bi][None, :].astype(jnp.float32),
+                coeffs_lat[bi][None, :].astype(jnp.float32),
+                traj_len[bi][None], ref32, veh32,
+                jnp.asarray(x0_orientation, jnp.float32), dt, n_steps,
+                low_vel_mode)
+            colliding = jnp.zeros((1,), dtype=bool)
+            if refine_segments:
+                colliding = colliding | collision_ops.check_collisions(
+                    ro.x, ro.y, ro.theta_gl, empty_obs, bound32,
+                    veh32.half_length, veh32.half_width, veh32.wb_rear_axle)
+            if continuous:
+                colliding = colliding | \
+                    collision_ops.check_collisions_continuous(
+                        ro.x, ro.y, ro.theta_gl, obstacles,
+                        veh32.half_length, veh32.half_width,
+                        veh32.wb_rear_axle)
+            bad = found_i & colliding[0]
+            m = jnp.where(bad & (jnp.arange(m.shape[0]) == bi), jnp.inf, m)
+            return m, bad
+
+        masked, _ = jax.lax.while_loop(
+            lambda state: state[1], lambda state: check_winner(state[0]),
+            check_winner(masked))
 
     (found, best_idx, best_cost, stat_level,
      n_inf_kin, n_coll) = select_across_levels(masked, kin, goal_valid,
@@ -360,8 +422,9 @@ def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,
 
 def _evaluate_level_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid,
                          ref, veh, obstacles, corridor, x0_orientation,
-                         cost_params, *, dt, n_steps, low_vel_mode,
-                         cost_structure, constraint_flags,
+                         cost_params, boundary=None, *, dt, n_steps,
+                         low_vel_mode, cost_structure, constraint_flags,
+                         continuous=False,
                          interpret=False) -> FastLevelResult:
     """One sampling level on the fused Pallas scorer + a K=1 winner re-roll.
 
@@ -377,8 +440,8 @@ def _evaluate_level_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid,
     level_ids = jnp.zeros(coeffs_lon.shape[0], jnp.int32)
     return _evaluate_levels_fast(
         coeffs_lon, coeffs_lat, traj_len, goal_valid, level_ids, ref, veh,
-        obstacles, corridor, x0_orientation, cost_params, dt=dt,
+        obstacles, corridor, x0_orientation, cost_params, boundary, dt=dt,
         n_steps=n_steps, low_vel_mode=low_vel_mode,
         cost_structure=cost_structure, constraint_flags=constraint_flags,
-        n_levels=1, interpret=interpret)
+        n_levels=1, continuous=continuous, interpret=interpret)
 

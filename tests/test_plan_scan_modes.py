@@ -109,3 +109,45 @@ def test_plan_scan_factor2_matches_host(repo_root):
     steps = [s.time_step for s in planner.record_state_list]
     assert steps[:4] == [0, 2, 4, 6]
     _compare(host, planner, info, max_states=22)
+
+
+def _plan_once(repo_root, fast, **planning_overrides):
+    config = _make_config(repo_root, **planning_overrides)
+    config.debug.fast_scoring = fast
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    result = planner.plan()
+    assert result is not None
+    return result, planner
+
+
+def test_fast_plan_segments_matches_xla(repo_root):
+    """plan() with boundary_mode='segments' now runs the fused kernel +
+    lazy segment refinement; the selected trajectory must match the XLA
+    dense path."""
+    xla, _ = _plan_once(repo_root, fast=False, boundary_mode="segments")
+    fast, planner = _plan_once(repo_root, fast=True,
+                               boundary_mode="segments")
+    np.testing.assert_allclose(
+        np.stack([s.position for s in fast[0].state_list]),
+        np.stack([s.position for s in xla[0].state_list]), atol=1e-4)
+
+
+def test_fast_plan_continuous_matches_xla(repo_root):
+    """plan() with continuous_collision_check now runs the fused kernel +
+    lazy swept-OBB refinement; trajectory parity with the XLA dense path."""
+    xla, _ = _plan_once(repo_root, fast=False,
+                        continuous_collision_check=True)
+    fast, planner = _plan_once(repo_root, fast=True,
+                               continuous_collision_check=True)
+    np.testing.assert_allclose(
+        np.stack([s.position for s in fast[0].state_list]),
+        np.stack([s.position for s in xla[0].state_list]), atol=1e-4)
+    assert planner.infeasible_count_collision == \
+        _plan_once(repo_root, fast=False,
+                   continuous_collision_check=True)[1] \
+        .infeasible_count_collision
