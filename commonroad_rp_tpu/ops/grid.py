@@ -182,6 +182,78 @@ def _span_from_coeffs(c: jnp.ndarray, lens: jnp.ndarray, dt: float,
     return jnp.minimum(s_min, ext_lo), jnp.maximum(s_max, ext_hi)
 
 
+def _span_steps_from_coeffs(c: jnp.ndarray, lens: jnp.ndarray, dt: float,
+                            n_steps: int):
+    """PER-STEP arclength bounds (lo[T], hi[T]) of longitudinal polynomials
+    [..., 6] with per-candidate step counts [...].
+
+    At each step t the bound covers every candidate's effective arclength:
+    the polynomial value while active, and the constant-velocity enlarge
+    extension s_last + (t - t_last) * s_dot_last beyond the candidate's
+    horizon — exactly the value the fused scorer's post-enlarge probes query
+    (ops.pallas_cycle._scoring_body).  Sound per-step bounds feed the
+    scorer's per-step table windows; exactness never depends on them (the
+    scorer falls back to full-span windows when a step's window cannot
+    cover its span)."""
+    dtype = c.dtype
+    T = n_steps + 1
+    dt_c = jnp.asarray(dt, dtype)
+    tq = (jnp.arange(T, dtype=dtype) * dt_c).reshape(
+        (1,) * lens.ndim + (T,))
+    ce = c[..., None, :]                                      # [..., 1, 6]
+    s_all = (((((ce[..., 5] * tq + ce[..., 4]) * tq + ce[..., 3]) * tq
+               + ce[..., 2]) * tq + ce[..., 1]) * tq + ce[..., 0])
+    act = jnp.arange(T, dtype=jnp.int32).reshape(
+        (1,) * lens.ndim + (T,)) < lens[..., None]
+    tau = (lens - 1).astype(dtype) * dt_c
+    sl = ((((c[..., 5] * tau + c[..., 4]) * tau + c[..., 3]) * tau
+           + c[..., 2]) * tau + c[..., 1]) * tau + c[..., 0]
+    sd = (((5.0 * c[..., 5] * tau + 4.0 * c[..., 4]) * tau
+           + 3.0 * c[..., 3]) * tau + 2.0 * c[..., 2]) * tau + c[..., 1]
+    t_rel = tq - tau[..., None]                               # [..., T]
+    s_ext = sl[..., None] + t_rel * sd[..., None]
+    val = jnp.where(act, s_all, s_ext)
+    axes = tuple(range(lens.ndim))
+    return jnp.min(val, axis=axes), jnp.max(val, axis=axes)   # each [T]
+
+
+def candidate_lon_span_steps(x0_lon: jnp.ndarray, lon_min: jnp.ndarray,
+                             lon_max: jnp.ndarray, grid: StaticGrid,
+                             dt: float, n_steps: int, stopping: bool = False):
+    """Per-step (lo[T], hi[T]) bounds of a static-grid candidate set — the
+    per-step-window analogue of :func:`candidate_lon_span` (same lattice
+    evaluation, reduced per step instead of globally)."""
+    dtype = x0_lon.dtype
+    t_g = jnp.asarray(grid.t_values, dtype)                       # [Nt]
+    lon_g = jnp.linspace(lon_min, lon_max, grid.n_lon, dtype=dtype)
+    T_, L_ = jnp.meshgrid(t_g, lon_g, indexing="ij")              # [Nt, Nl]
+    shape = T_.shape
+    if stopping:
+        xd = jnp.stack([L_, jnp.zeros_like(L_), jnp.zeros_like(L_)], axis=-1)
+        c = poly.quintic_coeffs(jnp.broadcast_to(x0_lon, shape + (3,)),
+                                xd, T_)
+    else:
+        c = poly.quartic_coeffs(jnp.broadcast_to(x0_lon, shape + (3,)),
+                                L_, T_)
+    lens = jnp.broadcast_to(
+        jnp.asarray(grid.traj_len, jnp.int32)[:, None], shape)
+    return _span_steps_from_coeffs(c, lens, dt, n_steps)
+
+
+def corridor_lon_span_steps(x0_lon: jnp.ndarray, cg: "CorridorGrid",
+                            dt: float, n_steps: int):
+    """Per-step bounds of the corridor lattice (velocity-bound corners, see
+    :func:`corridor_lon_span`)."""
+    dtype = x0_lon.dtype
+    ts = jnp.asarray(cg.t_values, dtype)
+    vb = cg.v_bounds.astype(dtype)                                # [Nt, 2]
+    c = poly.quartic_coeffs(jnp.broadcast_to(x0_lon, vb.shape + (3,)),
+                            vb, ts[:, None])
+    lens = jnp.broadcast_to(
+        jnp.asarray(cg.traj_len, jnp.int32)[:, None], vb.shape)
+    return _span_steps_from_coeffs(c, lens, dt, n_steps)
+
+
 class CorridorGrid(NamedTuple):
     """Dense corridor lattice tables for one sampling level (device scan
     counterpart of models.sampling.CorridorSampling.corridor_tables).

@@ -90,14 +90,18 @@ def pack_ref_tables(ref: frenet_ops.RefPathTables,
                    corridor.d_lo, corridor.d_hi], axis=1),
         ref.points, ref.tangent, ref.normal], axis=1).astype(jnp.float32)
     P = packed.shape[0]
-    P_pad = ((P + _LANE - 1) // _LANE) * _LANE
-    if P_pad != P:
-        # padded rows continue the final arclength monotonically so the
-        # compare-count searchsorted is unchanged for in-domain queries
-        pad_rows = jnp.tile(packed[-1:], (P_pad - P, 1))
-        pad_rows = pad_rows.at[:, 0].add(
-            1e7 * jnp.arange(1, P_pad - P + 1, dtype=jnp.float32))
-        packed = jnp.concatenate([packed, pad_rows], axis=0)
+    # always AT LEAST one sentinel row past the true path end (round up to
+    # the next full lane block even when P is already lane-aligned): the
+    # per-step table windows need a strictly-greater successor arclength
+    # above ref_s_last so probes clamped exactly AT the path end stay
+    # coverable by a window
+    P_pad = ((P + _LANE) // _LANE) * _LANE
+    # padded rows continue the final arclength monotonically so the
+    # compare-count searchsorted is unchanged for in-domain queries
+    pad_rows = jnp.tile(packed[-1:], (P_pad - P, 1))
+    pad_rows = pad_rows.at[:, 0].add(
+        1e7 * jnp.arange(1, P_pad - P + 1, dtype=jnp.float32))
+    packed = jnp.concatenate([packed, pad_rows], axis=0)
     return packed
 
 
@@ -145,6 +149,43 @@ def _onehot_at(s_chunk, s_col, dtype):
     s_next_col = jnp.concatenate(
         [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)  # [P, 1]
     return ((s_col <= s_chunk) & (s_next_col > s_chunk)).astype(dtype)
+
+
+def _lookup_pair_pre(s_chunk, s_col_b, s_next_b, pair_stack):
+    """``_lookup_pair`` with PREBROADCAST table columns.
+
+    s_col_b / s_next_b: [P, TILE] lane-broadcast copies of the table
+    arclength column and its successor column (built ONCE outside the
+    per-step loop).  The interval compare itself is unchanged — bit-identical
+    one-hot, bit-identical gather — but the [P, 1] -> [P, TILE] lane
+    broadcast is hoisted out of the T-step loop (Mosaic does not CSE the
+    per-step broadcast subgraphs; at T=61 the rebuilt broadcasts were the
+    dominant table cost, hardware ablation 2026-08-20)."""
+    onehot = ((s_col_b <= s_chunk) & (s_next_b > s_chunk)).astype(jnp.bfloat16)
+    if "gather_dot" in _ABLATE:                             # timing ablation
+        keep = jnp.max(onehot.astype(jnp.float32), axis=0, keepdims=True)
+        wide3 = pair_stack[:, 0:1].astype(jnp.float32) * keep  # [48, TILE]
+        return (wide3[0:_PAIR_ROWS] + wide3[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+            + wide3[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
+    wide = jax.lax.dot_general(pair_stack, onehot, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [48, TILE]
+    return (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+        + wide[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
+
+
+def _probe_band_prefix_pre(s_chunk, s_col_b, band_tab):
+    """``_probe_band_prefix`` with a PREBROADCAST arclength column (same
+    hoist as ``_lookup_pair_pre``; step function and telescoping dot are
+    bit-identical)."""
+    step = (s_col_b <= s_chunk).astype(jnp.bfloat16)
+    if "probe_dot" in _ABLATE:                              # timing ablation
+        keep = jnp.max(step.astype(jnp.float32), axis=0, keepdims=True)
+        return -30.0 * keep, 30.0 * keep
+    wide = jax.lax.dot_general(band_tab, step, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # [6, TILE]
+    d_lo = (wide[0:1, :] + wide[1:2, :]) + wide[2:3, :]
+    d_hi = (wide[3:4, :] + wide[4:5, :]) + wide[5:6, :]
+    return d_lo, d_hi
 
 
 def _lookup_pair(s_chunk, s_col, pair_stack):
@@ -397,6 +438,14 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # per-step [16, TILE] views are lane-aligned static slices
     s_col = table[:, 0:1]                                   # [P, 1]
     TILE = s.shape[1]
+    # hoisted lane-broadcasts of the arclength/successor columns: one
+    # [P, TILE] materialization each, shared by every step's interval
+    # one-hot and probe step function (chunk width 1 only; the chunked
+    # query paths keep the in-loop broadcast form)
+    s_next_col = jnp.concatenate(
+        [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)
+    s_col_b = jnp.broadcast_to(s_col, (s_col.shape[0], TILE))
+    s_next_b = jnp.broadcast_to(s_next_col, (s_col.shape[0], TILE))
     # lookup queries only: inactive steps carry s = 0, which falls BELOW a
     # dynamic window's first row and would gather all-zero rows (lam = 0/0
     # NaN poisons the take_last sums of short-but-feasible candidates).
@@ -420,9 +469,11 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         c1 = min(c0 + _GATHER_CHUNK, T)
         if c1 - c0 == 1:
             s_wide = s_lookup[c0:c0 + 1, :]
+            wide = _lookup_pair_pre(s_wide, s_col_b, s_next_b,
+                                    pair_stack)             # [16, TILE]
         else:
             s_wide = s_lookup[c0:c1, :].reshape(1, (c1 - c0) * TILE)
-        wide = _lookup_pair(s_wide, s_col, pair_stack)      # [16, C*TILE]
+            wide = _lookup_pair(s_wide, s_col, pair_stack)  # [16, C*TILE]
         for i in range(c1 - c0):
             vals = wide[:, i * TILE:(i + 1) * TILE]
             for col in range(_NUM_COLS):
@@ -641,13 +692,14 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                 q = s_probe[c0:c0 + 1, :]
                 dp_w = d_plus[c0:c0 + 1, :]
                 dm_w = d_minus[c0:c0 + 1, :]
+                band_lo, band_hi = _probe_band_prefix_pre(q, s_col_b, band_tab)
             else:
                 # sublane->lane reshape batches C steps' band queries into
                 # ONE telescoping matmul — bitwise identical per column
                 q = s_probe[c0:c1, :].reshape(1, C * TILE)
                 dp_w = d_plus[c0:c1, :].reshape(1, C * TILE)
                 dm_w = d_minus[c0:c1, :].reshape(1, C * TILE)
-            band_lo, band_hi = _probe_band_prefix(q, s_col, band_tab)
+                band_lo, band_hi = _probe_band_prefix(q, s_col, band_tab)
             viol_w = (dp_w > band_hi) | (dm_w < band_lo)    # [1, C*TILE]
             for i in range(C):
                 collides = collides | viol_w[:, i * TILE:(i + 1) * TILE]
