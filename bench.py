@@ -258,15 +258,20 @@ def main():
         n_scan = 150
 
         def body(v, _):
-            # per-cycle span like the production scan paths (the lattice
-            # bounds replace the scorer's dense [K, T] window prelude)
+            # per-cycle + per-step spans like the production scan paths
+            # (lattice bounds replace the scorer's dense [K, T] window
+            # prelude; the per-step bounds drive the per-step table windows)
             span = grid_ops.candidate_lon_span(
+                carry61.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid61, 0.1, n61)
+            span_steps = grid_ops.candidate_lon_span_steps(
                 carry61.x0_lon[0], jnp.asarray(18.0, dtype),
                 jnp.asarray(25.0, dtype), grid61, 0.1, n61)
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, goal_valid1, packed, obstacles1, veh,
                 carry61.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre, n_steps=n61)
+                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                span_steps=span_steps, pre=pre, n_steps=n61)
             return v + dtype(0.001), jnp.min(costs)
 
         raw = jax.jit(lambda v0: jax.lax.scan(body, v0, None, length=n_scan))

@@ -68,6 +68,24 @@ _WINDOW_ROWS = 256
 # 2026-08-20); 192 rows still cover the default config's ~160 m span
 # (the lax.cond fallback keeps faster fleets exact on the full table)
 _WINDOW_ROWS_LONG = 192
+# PER-STEP table windows (long horizons): each step's candidate arclengths
+# span only (v_max - v_min) * t * dt plus margins, so the per-step table ops
+# run over a schedule of small row windows instead of the whole cycle
+# window.  Static per-step sizes (16-aligned for bf16 sublane slices),
+# growing with the step index; a traced all-steps-covered check falls back
+# to the cycle-window kernel, so the schedule only affects speed, never
+# exactness.
+_PS_BASE = 32
+_PS_GROW = 1.0
+_PS_MAX = 112
+
+
+def _perstep_ws(t: int) -> int:
+    """Static per-step window rows at step ``t`` (multiple of 16)."""
+    want = int(_PS_BASE + _PS_GROW * t)
+    return min(_PS_MAX, ((want + 15) // 16) * 16)
+
+
 _OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
 
 # scalar-parameter slots (SMEM row)
@@ -318,6 +336,12 @@ class ScorerTables(NamedTuple):
     pair: jnp.ndarray
     band_delta: jnp.ndarray
     band_abs: jnp.ndarray
+    # per-step-window operands (sublane-major so PER-STEP dynamic slices land
+    # on the 8/16-sublane alignment grid; lane-axis slices would need
+    # 128-alignment):
+    snext: jnp.ndarray      # [P, 1] successor arclengths s[p+1] (sentinel top)
+    pair_sub: jnp.ndarray   # [P, 48] = pair.T
+    band_sh: jnp.ndarray    # [P, 6] split3 terms of delta at ROW p+1 (last 0)
 
 
 def precompute_scorer_tables(packed_table: jnp.ndarray) -> ScorerTables:
@@ -326,9 +350,20 @@ def precompute_scorer_tables(packed_table: jnp.ndarray) -> ScorerTables:
     tab_next = jnp.concatenate([tab[1:], tab[:1]], axis=0)
     pair_T = jnp.concatenate([tab.T, tab_next[:, :4].T], axis=0)   # [16, P]
     pair = jnp.concatenate(split3_bf16(pair_T), axis=0)            # [48, P]
+    band_delta = band_delta_tab(tab[:, 4], tab[:, 5])
+    snext = jnp.concatenate(
+        [tab[1:, 0:1], tab[-1:, 0:1] + jnp.float32(1e7)], axis=0)  # [P, 1]
+    # shifted delta stack: row p carries the split terms of
+    # delta[p+1] = band[p+1] - band[p]; the final row is zero (its "step"
+    # compares the sentinel successor arclength, which no clamped probe
+    # ever reaches)
+    band_sh = jnp.concatenate(
+        [band_delta[:, 1:], jnp.zeros_like(band_delta[:, :1])], axis=1).T
     return ScorerTables(table=tab, pair=pair,
-                        band_delta=band_delta_tab(tab[:, 4], tab[:, 5]),
-                        band_abs=band_abs_tab(tab[:, 4], tab[:, 5]))
+                        band_delta=band_delta,
+                        band_abs=band_abs_tab(tab[:, 4], tab[:, 5]),
+                        snext=snext, pair_sub=pair.T,
+                        band_sh=band_sh)
 
 
 def precompute_fleet_scorer_tables(packed_tables: jnp.ndarray) -> ScorerTables:
@@ -354,6 +389,38 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
+def _scoring_kernel_ps(scalars_ref, wins_ref, winf_ref, coeffs_lon_ref,
+                       coeffs_lat_ref, traj_len_ref, goal_valid_ref,
+                       table_ref, snext_ref, pairT_ref, bandT_ref, obs_ref,
+                       poly_ref, cost_ref, kin_cost_ref, reason_ref,
+                       *, n_steps: int, n_obstacles: int, n_polys: int,
+                       n_poly_verts: int, check_flags: tuple,
+                       has_desired_s: bool = False, ws_sched: tuple = ()):
+    """Single-problem kernel shell with PER-STEP table windows (window
+    starts from SMEM, sublane-major table operands sliced per step)."""
+    # the prelude aligns every window start to a multiple of 16 (bf16
+    # sublane tiling); pl.multiple_of carries that proof to Mosaic, which
+    # cannot derive it from an SMEM-sourced value on its own
+    _ds = lambda i0, ws: pl.ds(pl.multiple_of(i0, 16), ws)
+    ps = _PerStepRefs(
+        win_i=lambda t: wins_ref[0, t],
+        win_f=lambda r, t: winf_ref[r, t],
+        tbl_col=lambda i0, ws: table_ref[_ds(i0, ws), 0:1],
+        snext_col=lambda i0, ws: snext_ref[_ds(i0, ws), :],
+        pair_sub=lambda i0, ws: pairT_ref[_ds(i0, ws), :],
+        band_sh=lambda i0, ws: bandT_ref[_ds(i0, ws), :],
+        ws=ws_sched)
+    cost_ref[:], kin_cost_ref[:], reason_ref[:] = _scoring_body(
+        lambda slot: scalars_ref[0, slot],
+        coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
+        goal_valid_ref[:], None, None, None,
+        obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
+        lambda m, col: poly_ref[m, :, col:col + 1],
+        n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
+        n_poly_verts=n_poly_verts,
+        check_flags=check_flags, has_desired_s=has_desired_s, perstep=ps)
+
+
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
                           traj_len_ref, goal_valid_ref, table_ref, pair_ref,
                           band_ref, obs_ref,
@@ -374,11 +441,25 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
         check_flags=check_flags, has_desired_s=has_desired_s)
 
 
+class _PerStepRefs(NamedTuple):
+    """Per-step-window accessors handed to ``_scoring_body`` (all slices
+    start at the step's 16-aligned window row ``i0`` so bf16 sublane
+    alignment holds; successor/shifted tables absorb the +1 row offsets)."""
+    win_i: object      # t -> i0 window start (SMEM i32 scalar)
+    win_f: object      # (row, t) -> SMEM f32: 0 clamp-s0, 1 base d_lo, 2 base d_hi
+    tbl_col: object    # (i0, ws) -> [ws, 1] arclength rows s[i0:i0+ws]
+    snext_col: object  # (i0, ws) -> [ws, 1] successor rows s[i0+1:i0+ws+1]
+    pair_sub: object   # (i0, ws) -> [ws, 48] pair split stack rows
+    band_sh: object    # (i0, ws) -> [ws, 6] delta split terms at rows +1
+    ws: tuple          # static per-step window rows
+
+
 def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                   goal_valid_row, table, pair_stack, band_tab,
                   obs_ref, obs_col, poly_col, *, n_steps: int,
                   n_obstacles: int, n_polys: int, n_poly_verts: int,
-                  check_flags: tuple, has_desired_s: bool):
+                  check_flags: tuple, has_desired_s: bool,
+                  perstep: _PerStepRefs | None = None):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
     dt = scal(_S_DT)
@@ -436,16 +517,17 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # — C-fold fewer MXU invocations than the per-step form (exactness
     # unchanged: same one-hot rows, same 3-term f32 reconstruction); the
     # per-step [16, TILE] views are lane-aligned static slices
-    s_col = table[:, 0:1]                                   # [P, 1]
     TILE = s.shape[1]
-    # hoisted lane-broadcasts of the arclength/successor columns: one
-    # [P, TILE] materialization each, shared by every step's interval
-    # one-hot and probe step function (chunk width 1 only; the chunked
-    # query paths keep the in-loop broadcast form)
-    s_next_col = jnp.concatenate(
-        [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)
-    s_col_b = jnp.broadcast_to(s_col, (s_col.shape[0], TILE))
-    s_next_b = jnp.broadcast_to(s_next_col, (s_col.shape[0], TILE))
+    if perstep is None:
+        s_col = table[:, 0:1]                               # [P, 1]
+        # hoisted lane-broadcasts of the arclength/successor columns: one
+        # [P, TILE] materialization each, shared by every step's interval
+        # one-hot and probe step function (chunk width 1 only; the chunked
+        # query paths keep the in-loop broadcast form)
+        s_next_col = jnp.concatenate(
+            [s_col[1:, :], s_col[-1:, :] + jnp.float32(1e7)], axis=0)
+        s_col_b = jnp.broadcast_to(s_col, (s_col.shape[0], TILE))
+        s_next_b = jnp.broadcast_to(s_next_col, (s_col.shape[0], TILE))
     # lookup queries only: inactive steps carry s = 0, which falls BELOW a
     # dynamic window's first row and would gather all-zero rows (lam = 0/0
     # NaN poisons the take_last sums of short-but-feasible candidates).
@@ -455,7 +537,6 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     # so full-table gathers are bit-unchanged; the gathered values at
     # inactive steps are overwritten by the enlarge extension / masked by
     # `active` on every consumer either way.
-    s_lookup = jnp.where(active, s, scal(_S_TABLE_S0))
     if "gather" in _ABLATE:                                 # timing ablation
         one = jnp.abs(s) * 1e-6 + 1.0
         lo_s, lo_theta, lo_curv, lo_curv_d = s - 0.5, one * 0.01, one * 0.001, one * 0.001
@@ -465,7 +546,42 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         lo_s = None
     lo_cols = [[] for _ in range(_NUM_COLS)]
     hi_cols = [[] for _ in range(4)]
-    for c0 in ([] if lo_s is not None else range(0, T, _GATHER_CHUNK)):  # static, small T
+    if perstep is not None and lo_s is None:
+        # ---- PER-STEP windows: the interval one-hot, its compares, and
+        # the MXU gather run over ws[c] rows around the step's arclength
+        # span instead of the cycle window (bit-identical values: the
+        # containing row is inside the window — the caller's coverage cond
+        # guarantees it — and a one-hot dot is exact over any row subset)
+        for c in range(T):
+            ws_c = perstep.ws[c]
+            i0 = perstep.win_i(c)
+            # inactive queries clamp to the step window's FIRST arclength
+            # (its row fires; lam = 0; values overwritten by enlarge/mask)
+            q = jnp.where(active[c:c + 1, :], s[c:c + 1, :],
+                          perstep.win_f(0, c))
+            s_blk = perstep.tbl_col(i0, ws_c)               # [ws, 1]
+            s_nx = perstep.snext_col(i0, ws_c)
+            onehot = ((s_blk <= q) & (s_nx > q)).astype(jnp.bfloat16)
+            if "gather_dot" in _ABLATE:                     # timing ablation
+                keep = jnp.max(onehot.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                wide = jnp.broadcast_to(keep, (3 * _PAIR_ROWS, TILE))
+            else:
+                pair_blk = perstep.pair_sub(i0, ws_c)       # [ws, 48]
+                wide = jax.lax.dot_general(
+                    pair_blk, onehot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [48, TILE]
+            vals = (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+                + wide[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
+            for col in range(_NUM_COLS):
+                lo_cols[col].append(vals[col:col + 1, :])
+            for col in range(4):
+                hi_cols[col].append(
+                    vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
+    elif lo_s is None:
+        s_lookup = jnp.where(active, s, scal(_S_TABLE_S0))
+    for c0 in ([] if (lo_s is not None or perstep is not None)
+               else range(0, T, _GATHER_CHUNK)):            # static, small T
         c1 = min(c0 + _GATHER_CHUNK, T)
         if c1 - c0 == 1:
             s_wide = s_lookup[c0:c0 + 1, :]
@@ -681,7 +797,41 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     collides = jnp.zeros((1, TILE), dtype=jnp.bool_)
     d_plus = d_center + lat_ext
     d_minus = d_center - lat_ext
-    for offset in (() if "probes" in _ABLATE else (-1.0, 0.0, 1.0)):
+    if perstep is not None and "probes" not in _ABLATE:
+        # ---- PER-STEP corridor probes: the telescoping band dot runs over
+        # the step window's SHIFTED delta rows (rows i0+1..i0+ws) with the
+        # window-start band value added from SMEM.  Exact under the band
+        # quantization contract: every partial sum is a difference of
+        # contract-quantized band values (multiples of 2**-10, |.| <= 64 —
+        # exact in f32), so base + dot reconstructs the gathered band
+        # bit-for-bit, same as the rebased cycle-window telescoping.
+        for c in range(T):
+            ws_c = perstep.ws[c]
+            i0 = perstep.win_i(c)
+            s_nx = perstep.snext_col(i0, ws_c)              # [ws, 1]
+            delta_blk = perstep.band_sh(i0, ws_c)           # [ws, 6]
+            base_lo = perstep.win_f(1, c)
+            base_hi = perstep.win_f(2, c)
+            for offset in (-1.0, 0.0, 1.0):
+                q = jnp.clip(s_center[c:c + 1, :]
+                             + offset * lon_ext[c:c + 1, :], 0.0, ref_s_last)
+                step_m = (s_nx <= q).astype(jnp.bfloat16)
+                if "probe_dot" in _ABLATE:                  # timing ablation
+                    keep = jnp.max(step_m.astype(jnp.float32), axis=0,
+                                   keepdims=True)
+                    band_lo, band_hi = -30.0 * keep, 30.0 * keep
+                else:
+                    wide = jax.lax.dot_general(
+                        delta_blk, step_m, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)  # [6, TILE]
+                    band_lo = base_lo + ((wide[0:1, :] + wide[1:2, :])
+                                         + wide[2:3, :])
+                    band_hi = base_hi + ((wide[3:4, :] + wide[4:5, :])
+                                         + wide[5:6, :])
+                collides = collides | ((d_plus[c:c + 1, :] > band_hi)
+                                       | (d_minus[c:c + 1, :] < band_lo))
+    for offset in (() if ("probes" in _ABLATE or perstep is not None)
+                   else (-1.0, 0.0, 1.0)):
         # clamp into the table span: mirrors the XLA path's clipped-segment
         # gather convention for probes beyond the path ends
         s_probe = jnp.clip(s_center + offset * lon_ext, 0.0, ref_s_last)
@@ -812,6 +962,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             x0_orientation, dt: float,
                             low_vel, desired_speed, desired_d, w_a,
                             ref_s_last=None, desired_s=None, span=None,
+                            span_steps=None,
                             pre: ScorerTables | None = None,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
@@ -953,6 +1104,72 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             interpret=interpret,
         )(scal_tab, cl, ca, tl, gv, tab, pair_stack, band, obs, poly)
 
+    margin = (jnp.asarray(veh.wb_rear_axle, dtype)
+              + jnp.asarray(veh.half_length, dtype)
+              + jnp.asarray(veh.half_width, dtype) + dtype(1.0))
+
+    def call_kernel_ps(wins, winf, ws_sched):
+        """pallas_call with PER-STEP table windows over the FULL precomputed
+        tables (sublane-major operands; window starts/bases from SMEM)."""
+        grid = (K_pad // tile,)
+        if "launch" in _ABLATE:                             # timing ablation
+            keep = (jnp.sum(pre.pair_sub.astype(dtype)) + jnp.sum(pre.band_sh.astype(dtype))
+                    + jnp.sum(scalars) + jnp.sum(cl) + jnp.sum(ca)
+                    + jnp.sum(tl) + jnp.sum(obs) + jnp.sum(poly)
+                    + jnp.sum(winf) + jnp.sum(gv.astype(dtype)))
+            row = jnp.full((1, K_pad), 1.0, dtype) * keep
+            return row, row, row
+        return pl.pallas_call(
+            functools.partial(_scoring_kernel_ps, n_steps=n_steps,
+                              n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
+                              check_flags=check_flags,
+                              has_desired_s=desired_s is not None,
+                              ws_sched=ws_sched),
+            out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((1, K_pad), dtype),
+                       jax.ShapeDtypeStruct((1, K_pad), dtype)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, T), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((3, T), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((6, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((6, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, _NUM_COLS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 1), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 3 * _PAIR_ROWS), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((P, 6), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),
+                       pl.BlockSpec((1, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM)),
+            interpret=interpret,
+        )(scalars, wins, winf, cl, ca, tl, gv, pre.table, pre.snext,
+          pre.pair_sub, pre.band_sh, obs, poly)
+
+    def dispatch_cycle():
+        return _dispatch_cycle_window()
+
     # hardware-measured 2026-08-19: halving the window for short horizons
     # gains nothing (37.3M vs 37.2M at T=21) — at 256 rows the kernel is no
     # longer table-dominated there; LONG horizons (T > 32) are
@@ -960,9 +1177,10 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     # 192-row window (tests monkeypatch _WINDOW_ROWS/_WINDOW_ROWS_LONG huge
     # to force the full-table path)
     W = _WINDOW_ROWS if T <= 32 else _WINDOW_ROWS_LONG
-    if P <= W:
-        out = call_kernel(table, pre.pair, pre.band_delta)
-    else:
+
+    def _dispatch_cycle_window():
+        if P <= W:
+            return call_kernel(table, pre.pair, pre.band_delta)
         # ---- dynamic table window (exactness-preserving) ----------------
         # Every per-step table query (gather + the three corridor probes)
         # is P-proportional work inside the kernel; candidates only touch
@@ -977,9 +1195,6 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         # prefix telescoping are bit-identical to the full-table gathers;
         # window_ok excludes the window's final row so its wrapped
         # "next row" is never read.
-        margin = (jnp.asarray(veh.wb_rear_axle, dtype)
-                  + jnp.asarray(veh.half_length, dtype)
-                  + jnp.asarray(veh.half_width, dtype) + dtype(1.0))
         if span is not None:
             qmin = jnp.asarray(span[0], dtype) - margin
             qmax = jnp.asarray(span[1], dtype) + margin
@@ -1020,10 +1235,44 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             [jax.lax.dynamic_slice(pre.band_abs, (0, i0), (6, 1)),
              jax.lax.dynamic_slice(pre.band_delta, (0, i0 + 1), (6, W - 1))],
             axis=1)
-        out = jax.lax.cond(
+        return jax.lax.cond(
             window_ok,
             lambda: call_kernel(window, pair_w, band_w),
             lambda: call_kernel(table, pre.pair, pre.band_delta))
+
+    # ---- PER-STEP table windows (long horizons) -------------------------
+    # Requires per-step bounds from the caller (grid.candidate_lon_span_steps
+    # / corridor_lon_span_steps).  Enabled only where the win is real: long
+    # horizons (the [rows, TILE] compare/cast streaming dominates there) and
+    # tables big enough that the full-table VMEM residency is still modest.
+    use_perstep = (span_steps is not None and T > 32
+                   and P >= _PS_MAX + _LANE and P <= 4096)
+    if use_perstep:
+        ws_sched = tuple(_perstep_ws(t) for t in range(T))
+        lo_t = jnp.asarray(span_steps[0], dtype) - margin      # [T]
+        hi_t = jnp.asarray(span_steps[1], dtype) + margin
+        s_col_full = table[:, 0]
+        ws_arr = jnp.asarray(ws_sched, jnp.int32)
+        cnt = jnp.sum(s_col_full[:, None] <= lo_t[None, :],
+                      axis=0).astype(jnp.int32)                # [T]
+        i0 = jnp.clip(cnt - 1, 0, P - ws_arr - 1)
+        i0 = (i0 // 16) * 16          # bf16 sublane slice alignment
+        # coverage: every step's query range must sit strictly below the
+        # window's successor top s[i0+ws] (rounding i0 DOWN only widens the
+        # low side; the low side never needs a check — queries below s[0]
+        # belong to domain-masked candidates, matching full-table gathers)
+        top = jnp.take(s_col_full, i0 + ws_arr)
+        all_ok = jnp.all(hi_t < top)
+        wins = i0[None, :]                                     # [1, T] i32
+        winf = jnp.stack([jnp.take(s_col_full, i0),
+                          jnp.take(table[:, 4], i0),
+                          jnp.take(table[:, 5], i0)], axis=0)  # [3, T]
+        out = jax.lax.cond(
+            all_ok,
+            lambda: call_kernel_ps(wins, winf, ws_sched),
+            dispatch_cycle)
+    else:
+        out = dispatch_cycle()
     return out[0][0, :K], out[1][0, :K], out[2][0, :K]
 def score_fleet_pallas(*args, **kwargs):
     """(masked_costs, kin_costs) each [F, K] for a fleet of planning problems.

@@ -369,7 +369,9 @@ def make_pallas_fleet_scan(scene, static_grid: grid_ops.StaticGrid,
         sharded = shard_map(
             local_scan, mesh=mesh,
             in_specs=(carry_spec, scene_spec, f,
-                      pallas_cycle.ScorerTables(*([f] * 4)), f, f),
+                      pallas_cycle.ScorerTables(
+                          *([f] * len(pallas_cycle.ScorerTables._fields))),
+                      f, f),
             out_specs=(carry_spec, metrics_spec),
             check_vma=False)
         raw = jax.jit(lambda carry: sharded(carry, scene, packed, pre,
