@@ -72,6 +72,10 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         K = cl.shape[0]
         span = grid_ops.candidate_lon_span(carry.x0_lon, v_min, v_max,
                                            static_grid, dt, n_steps)
+        span_steps = None
+        if T > 32:       # per-step table windows (long horizons only)
+            span_steps = grid_ops.candidate_lon_span_steps(
+                carry.x0_lon, v_min, v_max, static_grid, dt, n_steps)
 
         if M:
             window_pose = jax.lax.dynamic_slice_in_dim(
@@ -96,7 +100,8 @@ def make_pallas_replanning_scan(ref: RefPathTables,
         costs, _, _ = pallas_cycle._score_candidates_pallas(
             cl, ca, tl, jnp.ones(K, dtype=bool), packed, obstacles, veh,
             carry.orientation, dt, low_vel, jnp.asarray(desired_speed, dtype),
-            dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
+            dtype(0.0), dtype(5.0), ref_s_last, span=span,
+            span_steps=span_steps, pre=pre,
             n_steps=n_steps, interpret=interpret)
         best = jnp.argmin(costs)
         found = jnp.isfinite(costs[best])
@@ -542,6 +547,15 @@ def make_facade_replanning_scan(ref: RefPathTables,
 
         cls, cas, tls, gvs = [], [], [], []
         span_lo = span_hi = None
+        sps_lo = sps_hi = None       # per-step bounds (long horizons only)
+        want_steps = T > 32
+
+        def _acc_steps(lo_hi):
+            nonlocal sps_lo, sps_hi
+            lo_s, hi_s = lo_hi
+            sps_lo = lo_s if sps_lo is None else jnp.minimum(sps_lo, lo_s)
+            sps_hi = hi_s if sps_hi is None else jnp.maximum(sps_hi, hi_s)
+
         if corridor_grids is not None:
             for cg in corridor_grids:
                 cl, ca, tl, gv_l = grid_ops.corridor_candidates(
@@ -552,6 +566,9 @@ def make_facade_replanning_scan(ref: RefPathTables,
                     else jnp.minimum(span_lo, lo_g)
                 span_hi = hi_g if span_hi is None \
                     else jnp.maximum(span_hi, hi_g)
+                if want_steps:
+                    _acc_steps(grid_ops.corridor_lon_span_steps(
+                        carry.x0_lon, cg, dt, n_steps))
                 cls.append(cl)
                 cas.append(ca)
                 tls.append(tl)
@@ -577,6 +594,10 @@ def make_facade_replanning_scan(ref: RefPathTables,
                     else jnp.minimum(span_lo, lo_g)
                 span_hi = hi_g if span_hi is None \
                     else jnp.maximum(span_hi, hi_g)
+                if want_steps:
+                    _acc_steps(grid_ops.candidate_lon_span_steps(
+                        carry.x0_lon, lon_lo, lon_hi, g, dt, n_steps,
+                        stopping=stopping))
                 dup = jnp.any(
                     jnp.asarray(g.d_values, dtype) == carry.x0_lat[0])
                 gvs.append(~(jnp.asarray(app) & dup) & gv_goal)
@@ -617,7 +638,9 @@ def make_facade_replanning_scan(ref: RefPathTables,
             jnp.asarray(desired_d, dtype), jnp.asarray(w_a, dtype),
             ref_s_last,
             desired_s=None if not stopping else jnp.asarray(desired_s, dtype),
-            span=(span_lo, span_hi), pre=pre,
+            span=(span_lo, span_hi),
+            span_steps=None if sps_lo is None else (sps_lo, sps_hi),
+            pre=pre,
             n_steps=n_steps, check_flags=constraint_flags,
             interpret=interpret)
 

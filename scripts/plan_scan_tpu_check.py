@@ -13,13 +13,17 @@ import time
 import numpy as np
 
 
-def build_planner(fast=True):
+def build_planner(fast=True, n_steps=None):
     from commonroad_rp_tpu.models.planner import ReactivePlanner
     from commonroad_rp_tpu.utils.config import ReactivePlannerConfiguration
     from commonroad_rp_tpu.utils.route import RoutePlanner
 
     config = ReactivePlannerConfiguration.load(
         "configurations/ZAM_Over-1_1.yaml", "ZAM_Over-1_1.xml")
+    if n_steps is not None:
+        # e.g. 60 = the reference default 6 s horizon (T = 61): exercises
+        # the scorer's per-step table windows in the facade scan
+        config.planning.time_steps_computation = n_steps
     config.update()
     config.debug.kernel_dtype = "float32"
     config.debug.fast_scoring = fast
@@ -35,6 +39,7 @@ def build_planner(fast=True):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cycles", type=int, default=12)
+    parser.add_argument("--n-steps", type=int, default=None)
     parser.add_argument("--skip-host-loop", action="store_true")
     args = parser.parse_args()
 
@@ -44,7 +49,7 @@ def main():
     print("devices:", jax.devices())
 
     # cold run (compile)
-    planner = build_planner()
+    planner = build_planner(n_steps=args.n_steps)
     planner.record_state_and_input(planner.x_0)
     t0 = time.perf_counter()
     info = planner.plan_scan(args.cycles)
@@ -55,7 +60,7 @@ def main():
 
     # warm runs: same planner, cached scan + executable (record=False keeps
     # the initial state, so every call replans the identical problem)
-    p = build_planner()
+    p = build_planner(n_steps=args.n_steps)
     p.plan_scan(args.cycles, record=False)        # build + compile once
     times = []
     for _ in range(5):
@@ -99,7 +104,7 @@ def main():
         return
 
     # host per-cycle loop on the same backend for comparison
-    host = build_planner()
+    host = build_planner(n_steps=args.n_steps)
     host.record_state_and_input(host.x_0)
     cycle_times = []
     optimal = None

@@ -101,10 +101,14 @@ def main():
             span = grid_ops.candidate_lon_span(
                 carry.x0_lon[0], jnp.asarray(18.0, dtype),
                 jnp.asarray(25.0, dtype), grid, 0.1, n_steps)
+            span_steps = grid_ops.candidate_lon_span_steps(
+                carry.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid, 0.1, n_steps)
             costs, kin, reason = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, gv, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, span=span, pre=pre,
+                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                span_steps=span_steps, pre=pre,
                 n_steps=n_steps)
             return v + dtype(0.001), (jnp.min(costs), jnp.sum(reason))
 

@@ -64,14 +64,22 @@ def main():
         carry.x0_lon[0], carry.x0_lat[0], jnp.asarray(18.0, dtype),
         jnp.asarray(25.0, dtype), jnp.asarray(False), grid61)
     gv = jnp.ones(K, dtype=bool)
-    n_scan = 10
+    pre = pallas_cycle.precompute_scorer_tables(packed)
+    n_scan = 50
 
     for tile in (128, 256, 512):
         def body(v, _, tile=tile):
+            span = grid_ops.candidate_lon_span(
+                carry.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid61, 0.1, n_steps)
+            span_steps = grid_ops.candidate_lon_span_steps(
+                carry.x0_lon[0], jnp.asarray(18.0, dtype),
+                jnp.asarray(25.0, dtype), grid61, 0.1, n_steps)
             costs, _, _ = pallas_cycle._score_candidates_pallas(
                 cl1, ca1, tl1, gv, packed, obstacles1, veh,
                 carry.orientation[0], dtype(0.1), jnp.asarray(False), v,
-                dtype(0.0), dtype(5.0), ref_s_last, n_steps=n_steps,
+                dtype(0.0), dtype(5.0), ref_s_last, span=span,
+                span_steps=span_steps, pre=pre, n_steps=n_steps,
                 tile_k=tile)
             return v + dtype(0.001), jnp.min(costs)
 
