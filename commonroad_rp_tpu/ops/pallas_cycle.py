@@ -78,12 +78,28 @@ _WINDOW_ROWS_LONG = 192
 _PS_BASE = 32
 _PS_GROW = 1.0
 _PS_MAX = 112
+# steps per window chunk: adjacent steps share one (slightly larger) window
+# so the slice/one-hot/dot fixed cost amortizes across the chunk — with
+# per-step windows the per-op fixed cost is a measurable share (hardware
+# ablation 2026-08-20: gather 110 us + probes 95 us per T=61 launch at
+# chunk 1)
+_PS_CHUNK = 2
 
 
 def _perstep_ws(t: int) -> int:
     """Static per-step window rows at step ``t`` (multiple of 16)."""
     want = int(_PS_BASE + _PS_GROW * t)
     return min(_PS_MAX, ((want + 15) // 16) * 16)
+
+
+def _ps_chunk_sched(T: int, chunk: int) -> tuple:
+    """Static per-CHUNK window rows: the last step's schedule plus one
+    16-row block of union slack when chunking (adjacent steps' spans shift
+    by ~v*dt each)."""
+    slack = 16 if chunk > 1 else 0
+    return tuple(min(_PS_MAX + slack,
+                     _perstep_ws(min(T - 1, c0 + chunk - 1)) + slack)
+                 for c0 in range(0, T, chunk))
 
 
 _OBS_COLS = 7   # x, y, theta, half_len, half_wid, valid, radius
@@ -548,36 +564,45 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     hi_cols = [[] for _ in range(4)]
     if perstep is not None and lo_s is None:
         # ---- PER-STEP windows: the interval one-hot, its compares, and
-        # the MXU gather run over ws[c] rows around the step's arclength
+        # the MXU gather run over ws[k] rows around the chunk's arclength
         # span instead of the cycle window (bit-identical values: the
         # containing row is inside the window — the caller's coverage cond
-        # guarantees it — and a one-hot dot is exact over any row subset)
-        for c in range(T):
-            ws_c = perstep.ws[c]
-            i0 = perstep.win_i(c)
-            # inactive queries clamp to the step window's FIRST arclength
+        # guarantees it — and a one-hot dot is exact over any row subset).
+        # _PS_CHUNK adjacent steps share one window; their queries batch
+        # along the lane axis (sublane->lane reshape, dot columns
+        # independent), amortizing the slice/dot fixed cost.
+        for c0 in range(0, T, _PS_CHUNK):
+            cN = min(c0 + _PS_CHUNK, T)
+            C = cN - c0
+            k = c0 // _PS_CHUNK
+            ws_k = perstep.ws[k]
+            i0 = perstep.win_i(k)
+            # inactive queries clamp to the chunk window's FIRST arclength
             # (its row fires; lam = 0; values overwritten by enlarge/mask)
-            q = jnp.where(active[c:c + 1, :], s[c:c + 1, :],
-                          perstep.win_f(0, c))
-            s_blk = perstep.tbl_col(i0, ws_c)               # [ws, 1]
-            s_nx = perstep.snext_col(i0, ws_c)
-            onehot = ((s_blk <= q) & (s_nx > q)).astype(jnp.bfloat16)
+            q = jnp.where(active[c0:cN, :], s[c0:cN, :],
+                          perstep.win_f(0, k))               # [C, TILE]
+            q_w = q if C == 1 else q.reshape(1, C * TILE)
+            s_blk = perstep.tbl_col(i0, ws_k)               # [ws, 1]
+            s_nx = perstep.snext_col(i0, ws_k)
+            onehot = ((s_blk <= q_w) & (s_nx > q_w)).astype(jnp.bfloat16)
             if "gather_dot" in _ABLATE:                     # timing ablation
                 keep = jnp.max(onehot.astype(jnp.float32), axis=0,
                                keepdims=True)
-                wide = jnp.broadcast_to(keep, (3 * _PAIR_ROWS, TILE))
+                wide = jnp.broadcast_to(keep, (3 * _PAIR_ROWS, C * TILE))
             else:
-                pair_blk = perstep.pair_sub(i0, ws_c)       # [ws, 48]
+                pair_blk = perstep.pair_sub(i0, ws_k)       # [ws, 48]
                 wide = jax.lax.dot_general(
                     pair_blk, onehot, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)     # [48, TILE]
-            vals = (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
+                    preferred_element_type=jnp.float32)     # [48, C*TILE]
+            vals_w = (wide[0:_PAIR_ROWS] + wide[_PAIR_ROWS:2 * _PAIR_ROWS]) \
                 + wide[2 * _PAIR_ROWS:3 * _PAIR_ROWS]
-            for col in range(_NUM_COLS):
-                lo_cols[col].append(vals[col:col + 1, :])
-            for col in range(4):
-                hi_cols[col].append(
-                    vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
+            for i in range(C):
+                vals = vals_w[:, i * TILE:(i + 1) * TILE]
+                for col in range(_NUM_COLS):
+                    lo_cols[col].append(vals[col:col + 1, :])
+                for col in range(4):
+                    hi_cols[col].append(
+                        vals[_NUM_COLS + col:_NUM_COLS + col + 1, :])
     elif lo_s is None:
         s_lookup = jnp.where(active, s, scal(_S_TABLE_S0))
     for c0 in ([] if (lo_s is not None or perstep is not None)
@@ -805,29 +830,44 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         # contract-quantized band values (multiples of 2**-10, |.| <= 64 —
         # exact in f32), so base + dot reconstructs the gathered band
         # bit-for-bit, same as the rebased cycle-window telescoping.
-        for c in range(T):
-            ws_c = perstep.ws[c]
-            i0 = perstep.win_i(c)
-            s_nx = perstep.snext_col(i0, ws_c)              # [ws, 1]
-            delta_blk = perstep.band_sh(i0, ws_c)           # [ws, 6]
-            base_lo = perstep.win_f(1, c)
-            base_hi = perstep.win_f(2, c)
-            for offset in (-1.0, 0.0, 1.0):
-                q = jnp.clip(s_center[c:c + 1, :]
-                             + offset * lon_ext[c:c + 1, :], 0.0, ref_s_last)
-                step_m = (s_nx <= q).astype(jnp.bfloat16)
-                if "probe_dot" in _ABLATE:                  # timing ablation
-                    keep = jnp.max(step_m.astype(jnp.float32), axis=0,
-                                   keepdims=True)
-                    band_lo, band_hi = -30.0 * keep, 30.0 * keep
-                else:
-                    wide = jax.lax.dot_general(
-                        delta_blk, step_m, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)  # [6, TILE]
-                    band_lo = base_lo + ((wide[0:1, :] + wide[1:2, :])
-                                         + wide[2:3, :])
-                    band_hi = base_hi + ((wide[3:4, :] + wide[4:5, :])
-                                         + wide[5:6, :])
+        # The three probe offsets AND the chunk's steps batch into ONE
+        # [ws, 3*C*TILE] step build + dot via the sublane->lane reshape
+        # (bit-identical per column; with per-step windows the per-op fixed
+        # cost is no longer negligible — fewer, wider ops measurably help,
+        # unlike the flat cycle-window chunk sweep).
+        for c0 in range(0, T, _PS_CHUNK):
+            cN = min(c0 + _PS_CHUNK, T)
+            C = cN - c0
+            k = c0 // _PS_CHUNK
+            ws_k = perstep.ws[k]
+            i0 = perstep.win_i(k)
+            s_nx = perstep.snext_col(i0, ws_k)              # [ws, 1]
+            delta_blk = perstep.band_sh(i0, ws_k)           # [ws, 6]
+            base_lo = perstep.win_f(1, k)
+            base_hi = perstep.win_f(2, k)
+            q3 = jnp.concatenate(
+                [jnp.clip(s_center[c:c + 1, :] + off * lon_ext[c:c + 1, :],
+                          0.0, ref_s_last)
+                 for c in range(c0, cN) for off in (-1.0, 0.0, 1.0)],
+                axis=0)                                     # [3C, TILE]
+            q_w = q3.reshape(1, 3 * C * TILE)
+            step_m = (s_nx <= q_w).astype(jnp.bfloat16)     # [ws, 3C*TILE]
+            if "probe_dot" in _ABLATE:                      # timing ablation
+                keep = jnp.max(step_m.astype(jnp.float32), axis=0,
+                               keepdims=True)
+                band_lo_w, band_hi_w = -30.0 * keep, 30.0 * keep
+            else:
+                wide = jax.lax.dot_general(
+                    delta_blk, step_m, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)     # [6, 3C*TILE]
+                band_lo_w = base_lo + ((wide[0:1, :] + wide[1:2, :])
+                                       + wide[2:3, :])
+                band_hi_w = base_hi + ((wide[3:4, :] + wide[4:5, :])
+                                       + wide[5:6, :])
+            for i in range(3 * C):
+                c = c0 + i // 3
+                band_lo = band_lo_w[:, i * TILE:(i + 1) * TILE]
+                band_hi = band_hi_w[:, i * TILE:(i + 1) * TILE]
                 collides = collides | ((d_plus[c:c + 1, :] > band_hi)
                                        | (d_minus[c:c + 1, :] < band_lo))
     for offset in (() if ("probes" in _ABLATE or perstep is not None)
@@ -1132,9 +1172,9 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             in_specs=[
                 pl.BlockSpec((1, _NUM_SCALARS), lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, T), lambda i: (0, 0),
+                pl.BlockSpec(wins.shape, lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((3, T), lambda i: (0, 0),
+                pl.BlockSpec(winf.shape, lambda i: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((6, tile), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -1248,13 +1288,22 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
     use_perstep = (span_steps is not None and T > 32
                    and P >= _PS_MAX + _LANE and P <= 4096)
     if use_perstep:
-        ws_sched = tuple(_perstep_ws(t) for t in range(T))
+        ws_sched = _ps_chunk_sched(T, _PS_CHUNK)
+        nch = len(ws_sched)
+        pad_t = nch * _PS_CHUNK - T
         lo_t = jnp.asarray(span_steps[0], dtype) - margin      # [T]
         hi_t = jnp.asarray(span_steps[1], dtype) + margin
+        if pad_t:
+            lo_t = jnp.concatenate([lo_t, jnp.full((pad_t,), jnp.inf, dtype)])
+            hi_t = jnp.concatenate([hi_t, jnp.full((pad_t,), -jnp.inf,
+                                                   dtype)])
+        # union bounds per _PS_CHUNK-step window chunk
+        lo_t = jnp.min(lo_t.reshape(nch, _PS_CHUNK), axis=1)   # [nch]
+        hi_t = jnp.max(hi_t.reshape(nch, _PS_CHUNK), axis=1)
         s_col_full = table[:, 0]
         ws_arr = jnp.asarray(ws_sched, jnp.int32)
         cnt = jnp.sum(s_col_full[:, None] <= lo_t[None, :],
-                      axis=0).astype(jnp.int32)                # [T]
+                      axis=0).astype(jnp.int32)                # [nch]
         i0 = jnp.clip(cnt - 1, 0, P - ws_arr - 1)
         i0 = (i0 // 16) * 16          # bf16 sublane slice alignment
         # coverage: every step's query range must sit strictly below the

@@ -96,10 +96,16 @@ def test_perstep_windows_enabled():
     s_col = np.asarray(packed[:, 0])
     margin = 1.0 + float(cfg["veh"].wb_rear_axle + cfg["veh"].half_length
                          + cfg["veh"].half_width)
-    ws = np.array([pallas_cycle._perstep_ws(t) for t in range(T)])
-    cnt = (s_col[:, None] <= (lo - margin)[None, :]).sum(axis=0)
+    ch = pallas_cycle._PS_CHUNK
+    ws = np.array(pallas_cycle._ps_chunk_sched(T, ch))
+    nch = len(ws)
+    lo = np.pad(lo - margin, (0, nch * ch - T),
+                constant_values=np.inf).reshape(nch, ch).min(axis=1)
+    hi = np.pad(hi + margin, (0, nch * ch - T),
+                constant_values=-np.inf).reshape(nch, ch).max(axis=1)
+    cnt = (s_col[:, None] <= lo[None, :]).sum(axis=0)
     i0 = np.clip(cnt - 1, 0, P - ws - 1) // 16 * 16
-    assert (hi + margin < s_col[i0 + ws]).all()
+    assert (hi < s_col[i0 + ws]).all()
 
 
 @pytest.mark.parametrize("x0_s,v0", [(40.0, 15.0), (120.0, 8.0)])
