@@ -544,23 +544,31 @@ class ReactivePlanner:
         flags = tuple(c in constraints for c in _CONSTRAINT_ORDER)
 
         cf = self.cost_function
+        # fail-safe cost = default formula at w_a=1, desired_d=0 without the
+        # velocity/stopping terms (cost_function.py:74-92) — the kernel takes
+        # it as a weight/flag switch
+        fail_safe = cf.structure[0] == "fail_safe"
         cost_params = cycle_ops.CostParams(
-            w_a=jnp.asarray(getattr(cf, "w_a", 0.0), dtype),
-            desired_d=jnp.asarray(getattr(cf, "desired_d", 0.0), dtype),
+            w_a=jnp.asarray(1.0 if fail_safe
+                            else getattr(cf, "w_a", 0.0), dtype),
+            desired_d=jnp.asarray(0.0 if fail_safe
+                                  else getattr(cf, "desired_d", 0.0), dtype),
             desired_speed=jnp.asarray(
                 getattr(cf, "desired_speed", None) or 0.0, dtype),
             desired_s=jnp.asarray(getattr(cf, "desired_s", None) or 0.0, dtype))
 
         # kernel_ok: the fused Pallas scorer applies at all (float32 layout,
-        # default cost with a speed target).  The modes the KERNEL cannot
+        # default or fail-safe cost).  The modes the KERNEL cannot
         # mask densely — the continuous swept pass and the exact 'segments'
         # boundary SAT — run as LAZY per-winner refinement on every fused
         # path (plan_scan, fused escalation, single-level fast), so the
-        # whole reference configuration class stays on the fast path
+        # whole reference configuration class stays on the fast path.
+        # Trajectory-set capture (draw_traj_set) no longer forces the XLA
+        # fallback: the fast paths capture the bundle with one extra XLA
+        # rollout dispatch post-selection (_capture_bundle_fast)
         kernel_ok = (self.config.debug.fast_scoring
                      and self._dtype == jnp.float32
-                     and not self._draw_traj_set
-                     and cf.structure[0] == "default" and cf.structure[1])
+                     and cf.structure[0] in ("default", "fail_safe"))
         fast_ok = kernel_ok \
             and boundary_mode in ("corridor", "none", "segments")
         return dict(veh=veh, obstacles=obstacles, boundary=boundary,
@@ -588,10 +596,18 @@ class ReactivePlanner:
         the per-dispatch RTT over all cycles (sub-ms per planning cycle vs
         tens of ms for per-cycle ``plan()`` calls).
 
-        Scope: the fast-path scope (float32 kernels, corridor/no boundary,
-        default cost) and ``planning.factor == 1``; both longitudinal modes
-        are supported (stopping mode requires ``set_desired_lon_position``
-        first).  Raises ValueError outside the scope.  Standstill STARTS
+        Scope: the fused-kernel scope (``debug.fast_scoring``, float32
+        kernels, default cost with a speed target).  Within it, every
+        reference planning configuration runs: corridor / ``segments`` /
+        no boundary mode, discrete and ``continuous_collision_check``,
+        any ``planning.factor`` (obstacle tables are factor-strided),
+        Fixed-interval and Corridor sampling spaces, and both longitudinal
+        modes (stopping mode requires ``set_desired_lon_position`` first).
+        Exact ``segments`` SAT and the swept continuous pass run as lazy
+        per-winner refinement inside the scan (a device-side sorted
+        ``while_loop``, mirroring the reference's lazy sorted collision
+        iteration at reactive_planner.py:1031-1062).  Raises ValueError
+        outside the kernel scope.  Standstill STARTS
         work (low-velocity mode runs on device — ZAM-Ramp pinned in tests),
         and the standstill FALLBACK (reactive_planner.py:638-653, :667-713)
         runs ON DEVICE as a ``where``-branch: a blocked scene at v ~ 0
@@ -616,7 +632,9 @@ class ReactivePlanner:
             self.x_0.velocity < self.config.planning.low_vel_mode_threshold
 
         ctx = self._scene_context()
-        if not ctx["kernel_ok"]:
+        cf_structure = self.cost_function.structure
+        if not ctx["kernel_ok"] or cf_structure[0] != "default" \
+                or not cf_structure[1]:
             raise ValueError("plan_scan requires the fused-kernel scope "
                              "(debug.fast_scoring, float32 kernels, "
                              "default cost with speed target)")
@@ -989,6 +1007,13 @@ class ReactivePlanner:
         logger.info("Rejected %d kinematically infeasible, %d colliding",
                     self._infeasible_count_kinematics,
                     self._infeasible_count_collision)
+        if self._draw_traj_set:
+            # capture the SELECTED level's slice (the XLA escalation loop
+            # stores the level it stopped at, matching the reference's
+            # per-level drawing path)
+            sel = level_mask
+            self._capture_bundle_fast(coeffs_lon[sel], coeffs_lat[sel],
+                                      traj_len[sel], goal_valid[sel])
 
         feas_costs = None
         if logger.isEnabledFor(logging.DEBUG):
@@ -1045,12 +1070,55 @@ class ReactivePlanner:
                            "(debug.fast_scoring: False) for this scenario")
         self._pending_reason_stats = ("fast", result.reasons,
                                       result.kin_costs, goal_valid)
+        if self._draw_traj_set:
+            self._capture_bundle_fast(batch.coeffs_lon, batch.coeffs_lat,
+                                      batch.traj_len, goal_valid)
 
         feas_costs = None
         if logger.isEnabledFor(logging.DEBUG):
             kin_costs = np.asarray(result.kin_costs)
             feas_costs = kin_costs[np.isfinite(kin_costs)]
         return self._finalize_level(found, scalars, optimal_packed, feas_costs)
+
+    def _capture_bundle_fast(self, coeffs_lon, coeffs_lat, traj_len,
+                             goal_valid):
+        """Trajectory-set capture on the fast path (draw_traj_set).
+
+        One extra XLA ``evaluate_level`` dispatch AFTER the fused selection
+        reproduces the bundle's [K, T] Cartesian states and the dense
+        feasibility/collision labels for visualization (reference drawing
+        path, reactive_planner.py:1122-1123 + visualization.py:143-148) —
+        bit-for-bit the same BundleSummary the XLA conformance path stores.
+        The fused kernel remains the SELECTION path; this dispatch only
+        feeds the renderer, so its extra cost is paid only when drawing.
+        """
+        import jax as _jax
+
+        ctx = self._scene_context()
+        # the fast path requires self._dtype == float32, so the scene trees
+        # are already in the layout evaluate_level wants
+        dtype = self._dtype
+        with _jax.enable_x64(False):
+            boundary_mode = ctx["boundary_mode"]
+            result = cycle_ops.evaluate_level(
+                jnp.asarray(coeffs_lon, dtype), jnp.asarray(coeffs_lat, dtype),
+                jnp.asarray(traj_len), jnp.asarray(goal_valid),
+                self._co.tables, ctx["veh"], ctx["obstacles"],
+                ctx["boundary"] if boundary_mode == "segments" else None,
+                ctx["corridor"],
+                jnp.asarray(self.x_0.orientation, dtype), ctx["cost_params"],
+                dt=self.dt, n_steps=self.N, low_vel_mode=self._low_vel_mode,
+                cost_structure=self.cost_function.structure,
+                constraint_flags=ctx["flags"], boundary_mode=boundary_mode,
+                continuous_check=self.config.planning
+                .continuous_collision_check)
+            x, y, costs, masks = _jax.device_get(
+                (result.rollout.x, result.rollout.y, result.costs,
+                 result.masks))
+        masks = np.asarray(masks)
+        self.stored_trajectories = BundleSummary(
+            x=np.asarray(x), y=np.asarray(y), costs=np.asarray(costs),
+            feasible=masks[0].astype(bool), collides=masks[1].astype(bool))
 
     def _vehicle_arrays(self) -> kin_ops.VehicleArrays:
         v = self.vehicle_params

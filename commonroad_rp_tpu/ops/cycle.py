@@ -387,9 +387,17 @@ def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,
     from commonroad_rp_tpu.ops import pallas_cycle
 
     dtype = jnp.float32
-    kind, has_speed, has_s = cost_structure
-    assert kind == "default" and has_speed, \
-        "fast path supports the default cost structure with a speed target"
+    kind = cost_structure[0]
+    if kind == "default":
+        _, has_speed, has_s = cost_structure
+    elif kind == "fail_safe":
+        # DefaultCostFunctionFailSafe (cost_function.py:74-92) is the
+        # default formula at w_a=1, desired_d=0 with the velocity and
+        # stopping terms absent — a weight/flag switch, not a new kernel
+        # (the caller's CostParams already carry w_a=1, desired_d=0)
+        has_speed, has_s = False, False
+    else:
+        raise ValueError(f"fast path: unknown cost structure {cost_structure}")
     f32 = lambda tree: jax.tree.map(lambda a: jnp.asarray(a, dtype), tree)
     ref = f32(ref)
     veh = f32(veh)
@@ -417,7 +425,8 @@ def _score_union_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid, ref, veh,
         jnp.asarray(cost_params.desired_d, dtype),
         jnp.asarray(cost_params.w_a, dtype), ref_s_last,
         jnp.asarray(cost_params.desired_s, dtype) if has_s else None,
-        n_steps=n_steps, check_flags=constraint_flags, interpret=interpret)
+        n_steps=n_steps, check_flags=constraint_flags, interpret=interpret,
+        has_desired_v=has_speed)
 
 
 def _evaluate_level_fast(coeffs_lon, coeffs_lat, traj_len, goal_valid,

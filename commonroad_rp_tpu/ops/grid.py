@@ -211,6 +211,12 @@ def _span_steps_from_coeffs(c: jnp.ndarray, lens: jnp.ndarray, dt: float,
     sd = (((5.0 * c[..., 5] * tau + 4.0 * c[..., 4]) * tau
            + 3.0 * c[..., 3]) * tau + 2.0 * c[..., 2]) * tau + c[..., 1]
     t_rel = tq - tau[..., None]                               # [..., T]
+    # apply the scorer's EPS snap (|s_dot| < _EPS -> 0, pallas_cycle) so the
+    # extension term brackets EXACTLY the value the scorer queries after
+    # enlarge — without the snap the bound can under-cover by up to
+    # _EPS * t_ext (~6e-5 m at T=61; ADVICE r4)
+    from commonroad_rp_tpu.ops.kinematics import _EPS
+    sd = jnp.where(jnp.abs(sd) < _EPS, 0.0, sd)
     s_ext = sl[..., None] + t_rel * sd[..., None]
     val = jnp.where(act, s_all, s_ext)
     axes = tuple(range(lens.ndim))

@@ -392,7 +392,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
                     poly_ref, cost_ref, kin_cost_ref, reason_ref,
                     *, n_steps: int, n_obstacles: int, n_polys: int,
                     n_poly_verts: int, check_flags: tuple,
-                    has_desired_s: bool = False):
+                    has_desired_s: bool = False,
+                    has_desired_v: bool = True):
     """Single-problem kernel shell."""
     cost_ref[:], kin_cost_ref[:], reason_ref[:] = _scoring_body(
         lambda slot: scalars_ref[0, slot],
@@ -402,7 +403,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
         n_poly_verts=n_poly_verts,
-        check_flags=check_flags, has_desired_s=has_desired_s)
+        check_flags=check_flags, has_desired_s=has_desired_s,
+        has_desired_v=has_desired_v)
 
 
 def _scoring_kernel_ps(scalars_ref, wins_ref, winf_ref, coeffs_lon_ref,
@@ -411,7 +413,8 @@ def _scoring_kernel_ps(scalars_ref, wins_ref, winf_ref, coeffs_lon_ref,
                        poly_ref, cost_ref, kin_cost_ref, reason_ref,
                        *, n_steps: int, n_obstacles: int, n_polys: int,
                        n_poly_verts: int, check_flags: tuple,
-                       has_desired_s: bool = False, ws_sched: tuple = ()):
+                       has_desired_s: bool = False,
+                       has_desired_v: bool = True, ws_sched: tuple = ()):
     """Single-problem kernel shell with PER-STEP table windows (window
     starts from SMEM, sublane-major table operands sliced per step)."""
     # the prelude aligns every window start to a multiple of 16 (bf16
@@ -434,7 +437,8 @@ def _scoring_kernel_ps(scalars_ref, wins_ref, winf_ref, coeffs_lon_ref,
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
         n_poly_verts=n_poly_verts,
-        check_flags=check_flags, has_desired_s=has_desired_s, perstep=ps)
+        check_flags=check_flags, has_desired_s=has_desired_s,
+        has_desired_v=has_desired_v, perstep=ps)
 
 
 def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
@@ -475,6 +479,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                   obs_ref, obs_col, poly_col, *, n_steps: int,
                   n_obstacles: int, n_polys: int, n_poly_verts: int,
                   check_flags: tuple, has_desired_s: bool,
+                  has_desired_v: bool = True,
                   perstep: _PerStepRefs | None = None):
     T = n_steps + 1
     TILE = c_lon_full.shape[1]
@@ -792,10 +797,11 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
         costs = jnp.sum(v + a + d + s + theta_cl, axis=0, keepdims=True)
     else:
         costs = jnp.sum((w_a * a) ** 2, axis=0, keepdims=True)
-        costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0,
-                                 keepdims=True)
-                         + 50.0 * (v_end - desired_v) ** 2
-                         + 100.0 * (v_mid - desired_v) ** 2)
+        if has_desired_v:
+            costs = costs + (jnp.sum((5.0 * (v - desired_v)) ** 2, axis=0,
+                                     keepdims=True)
+                             + 50.0 * (v_end - desired_v) ** 2
+                             + 100.0 * (v_mid - desired_v) ** 2)
         if has_desired_s:
             # stopping cost (cost_function.py:60-62)
             desired_s = scal(_S_DESIRED_S)
@@ -993,7 +999,8 @@ def score_candidates_pallas(*args, **kwargs):
 
 
 @functools.partial(jax.jit, static_argnames=("n_steps", "check_flags",
-                                             "interpret", "tile_k"))
+                                             "interpret", "tile_k",
+                                             "has_desired_v"))
 def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             traj_len: jnp.ndarray, goal_valid: jnp.ndarray,
                             packed_table: jnp.ndarray,
@@ -1007,7 +1014,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                             *, n_steps: int,
                             check_flags: tuple = (True,) * 5,
                             interpret: bool = False,
-                            tile_k: int | None = None) -> jnp.ndarray:
+                            tile_k: int | None = None,
+                            has_desired_v: bool = True) -> jnp.ndarray:
     """(masked_costs, kin_costs) each [K] from the fused VMEM scoring kernel.
 
     ``masked_costs`` is the selection row — equivalent (for velocity-keeping
@@ -1108,7 +1116,8 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
             functools.partial(_scoring_kernel, n_steps=n_steps,
                               n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
                               check_flags=check_flags,
-                              has_desired_s=desired_s is not None),
+                              has_desired_s=desired_s is not None,
+                              has_desired_v=has_desired_v),
             out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
                        jax.ShapeDtypeStruct((1, K_pad), dtype),
                        jax.ShapeDtypeStruct((1, K_pad), dtype)),
@@ -1164,6 +1173,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                               n_obstacles=M, n_polys=Mp, n_poly_verts=Vp,
                               check_flags=check_flags,
                               has_desired_s=desired_s is not None,
+                              has_desired_v=has_desired_v,
                               ws_sched=ws_sched),
             out_shape=(jax.ShapeDtypeStruct((1, K_pad), dtype),
                        jax.ShapeDtypeStruct((1, K_pad), dtype),
@@ -1312,10 +1322,10 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
         # belong to domain-masked candidates, matching full-table gathers)
         top = jnp.take(s_col_full, i0 + ws_arr)
         all_ok = jnp.all(hi_t < top)
-        wins = i0[None, :]                                     # [1, T] i32
+        wins = i0[None, :]                                     # [1, nch] i32
         winf = jnp.stack([jnp.take(s_col_full, i0),
                           jnp.take(table[:, 4], i0),
-                          jnp.take(table[:, 5], i0)], axis=0)  # [3, T]
+                          jnp.take(table[:, 5], i0)], axis=0)  # [3, nch]
         out = jax.lax.cond(
             all_ok,
             lambda: call_kernel_ps(wins, winf, ws_sched),

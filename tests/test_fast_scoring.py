@@ -427,3 +427,84 @@ def test_plan_scan_dynamic_obstacles_deu(repo_root):
     assert len(got) == len(want)
     for a, b in zip(want, got):
         np.testing.assert_allclose(b.position, a.position, atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# round-5 fused-path scope closures (VERDICT r4 item 5)
+# ---------------------------------------------------------------------------
+
+def _plan_with_cost(repo_root, fast, cost_function):
+    config = _make_config(repo_root, fast)
+    route = RoutePlanner(config.scenario,
+                         config.planning_problem).plan_routes() \
+        .retrieve_first_route()
+    planner = ReactivePlanner(config)
+    planner.set_reference_path(route.reference_path)
+    planner.set_cost_function(cost_function)
+    planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+    result = planner.plan()
+    return planner, result
+
+
+def test_fail_safe_cost_on_fast_path(repo_root):
+    """DefaultCostFunctionFailSafe (cost_function.py:74-92) runs through the
+    fused Pallas kernel (a weight/flag switch: w_a=1, desired_d=0, no
+    velocity/stopping terms) and selects the same trajectory as the XLA
+    conformance path."""
+    from commonroad_rp_tpu.models.cost_functions import \
+        DefaultCostFunctionFailSafe
+
+    ref_planner, want = _plan_with_cost(repo_root, False,
+                                        DefaultCostFunctionFailSafe())
+    fast_planner, got = _plan_with_cost(repo_root, True,
+                                        DefaultCostFunctionFailSafe())
+    assert want is not None and got is not None
+    # the fused path actually engaged (not the XLA fallback)
+    assert fast_planner._scene_context()["fast_ok"]
+    for a, b in zip(want[0].state_list, got[0].state_list):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-4)
+        np.testing.assert_allclose(b.velocity, a.velocity, atol=1e-4)
+    assert fast_planner.optimal_cost == pytest.approx(
+        ref_planner.optimal_cost, rel=1e-5)
+    assert fast_planner.infeasible_count_kinematics == \
+        ref_planner.infeasible_count_kinematics
+
+
+def test_draw_traj_set_on_fast_path(repo_root):
+    """Trajectory-set capture no longer forces the XLA fallback: with
+    draw_traj_set the fast path stays fused for selection and captures the
+    bundle with one post-selection rollout (labels identical to the XLA
+    path's stored bundle)."""
+    def plan(fast):
+        config = _make_config(repo_root, fast)
+        config.debug.draw_traj_set = True
+        config.debug.save_plots = True
+        route = RoutePlanner(config.scenario,
+                             config.planning_problem).plan_routes() \
+            .retrieve_first_route()
+        planner = ReactivePlanner(config)
+        planner.set_reference_path(route.reference_path)
+        planner.set_desired_velocity(current_speed=planner.x_0.velocity)
+        result = planner.plan()
+        return planner, result
+
+    ref_planner, want = plan(False)
+    fast_planner, got = plan(True)
+    assert want is not None and got is not None
+    assert fast_planner._scene_context()["fast_ok"], \
+        "draw_traj_set must not drop the fused path anymore"
+
+    ref_bundle = ref_planner.stored_trajectories
+    bundle = fast_planner.stored_trajectories
+    assert bundle is not None
+    assert bundle.x.shape == ref_bundle.x.shape
+    np.testing.assert_array_equal(bundle.feasible, ref_bundle.feasible)
+    np.testing.assert_array_equal(bundle.collides, ref_bundle.collides)
+    np.testing.assert_allclose(bundle.x, ref_bundle.x, atol=1e-3)
+    np.testing.assert_allclose(bundle.y, ref_bundle.y, atol=1e-3)
+    feas = bundle.feasible
+    np.testing.assert_allclose(bundle.costs[feas], ref_bundle.costs[feas],
+                               rtol=1e-4)
+    # selection unchanged by the capture
+    for a, b in zip(want[0].state_list, got[0].state_list):
+        np.testing.assert_allclose(b.position, a.position, atol=1e-4)
