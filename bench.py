@@ -254,10 +254,12 @@ def main():
             carry61.x0_lon[0], carry61.x0_lat[0], jnp.asarray(18.0, dtype),
             jnp.asarray(25.0, dtype), jnp.asarray(False), grid61)
         goal_valid1 = jnp.ones(K61, dtype=bool)
-        # 150 launches per dispatch: amortizes the tunnel RTT out of the
-        # per-launch number (a 15-35 ms round trip would otherwise dominate;
-        # production device-resident paths pay no per-launch RTT at all)
-        n_scan = 150
+        # 600 launches per dispatch: amortizes the tunnel RTT out of the
+        # per-launch number (~230 ms device time per dispatch vs a 15-100 ms
+        # round trip — at the previous 150 the RTT was ~30% of a dispatch on
+        # a bad tunnel day, biasing the number 20%+ low; production
+        # device-resident paths pay no per-launch RTT at all)
+        n_scan = 600
 
         def body(v, _):
             # per-cycle + per-step spans like the production scan paths

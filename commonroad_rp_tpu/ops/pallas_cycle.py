@@ -84,6 +84,15 @@ _PS_MAX = 112
 # ablation 2026-08-20: gather 110 us + probes 95 us per T=61 launch at
 # chunk 1)
 _PS_CHUNK = 2
+# interval one-hot construction in the per-step gather: "interval" builds
+# (s_i <= q) & (s_{i+1} > q) (two [ws, CT] compares); "stepdiff" builds ONE
+# step function (s_i <= q) and takes the sublane-shifted difference
+# step_i - step_{i+1} — bit-identical under the same coverage condition
+# (the monotone step makes the difference exactly the interval indicator;
+# the last row's successor is 0 because the all-chunks-covered lax.cond
+# guarantees every query sits strictly below the window top), halving the
+# dominant [ws, CT] compare stream (doc/architecture.md cost model)
+_PS_ONEHOT = "stepdiff"
 
 
 def _perstep_ws(t: int) -> int:
@@ -588,8 +597,14 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                           perstep.win_f(0, k))               # [C, TILE]
             q_w = q if C == 1 else q.reshape(1, C * TILE)
             s_blk = perstep.tbl_col(i0, ws_k)               # [ws, 1]
-            s_nx = perstep.snext_col(i0, ws_k)
-            onehot = ((s_blk <= q_w) & (s_nx > q_w)).astype(jnp.bfloat16)
+            if _PS_ONEHOT == "stepdiff":
+                step_b = (s_blk <= q_w).astype(jnp.bfloat16)
+                onehot = step_b - jnp.concatenate(
+                    [step_b[1:], jnp.zeros((1, step_b.shape[1]),
+                                           jnp.bfloat16)], axis=0)
+            else:
+                s_nx = perstep.snext_col(i0, ws_k)
+                onehot = ((s_blk <= q_w) & (s_nx > q_w)).astype(jnp.bfloat16)
             if "gather_dot" in _ABLATE:                     # timing ablation
                 keep = jnp.max(onehot.astype(jnp.float32), axis=0,
                                keepdims=True)
