@@ -452,11 +452,12 @@ def main():
             hits = []
             for i, st in enumerate(states):
                 for gs in goal.state_list:
-                    in_shape = gs.position is not None and \
-                        gs.position.contains_point(st.position)
+                    if not (gs.position_shapes or gs.position_lanelets):
+                        continue
+                    in_shape = any(s.contains_point(st.position)
+                                   for s in gs.position_shapes)
                     in_lanelet = False
-                    if getattr(gs, "position_lanelets", None) and \
-                            goal.lanelet_network:
+                    if gs.position_lanelets and goal.lanelet_network:
                         in_lanelet = any(
                             goal.lanelet_network.find_lanelet_by_id(lid)
                             .contains_point(st.position)
@@ -659,9 +660,12 @@ def main():
         _measure_plan_scan, "plan-scan")
     emit()
     # production fleet shape (expensive: 12 base problems + a 1024-wide
-    # compile; the scene build alone is ~1 min host-side)
-    result["fleet1024_evals_per_sec"] = _run_probe(
-        _measure_fleet1024, "fleet1024", min_useful=300.0)
+    # compile; the scene build alone is ~1 min host-side).  A late failure
+    # (e.g. in the host-side goal classification) must not clobber the
+    # throughput sample the stage already banked via its checkpoint emit
+    fleet1024 = _run_probe(_measure_fleet1024, "fleet1024", min_useful=300.0)
+    if fleet1024 is not None or result["fleet1024_evals_per_sec"] is None:
+        result["fleet1024_evals_per_sec"] = fleet1024
 
     # ---- optional: XLA fleet scan (non-headline; only if budget remains) ---
     if remaining() > 120.0:

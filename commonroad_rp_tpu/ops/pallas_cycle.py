@@ -83,7 +83,7 @@ _PS_MAX = 112
 # per-step windows the per-op fixed cost is a measurable share (hardware
 # ablation 2026-08-20: gather 110 us + probes 95 us per T=61 launch at
 # chunk 1)
-_PS_CHUNK = 2
+_PS_CHUNK = 4
 # interval one-hot construction in the per-step gather: "interval" builds
 # (s_i <= q) & (s_{i+1} > q) (two [ws, CT] compares); "stepdiff" builds ONE
 # step function (s_i <= q) and takes the sublane-shifted difference
@@ -408,7 +408,8 @@ def _scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref, traj_len_ref,
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], table_ref[:], pair_ref[:], band_ref[:],
-        obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
+        obs_ref,
+        lambda m, col: obs_ref[:, m * _OBS_COLS + col:m * _OBS_COLS + col + 1],
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
         n_poly_verts=n_poly_verts,
@@ -442,7 +443,8 @@ def _scoring_kernel_ps(scalars_ref, wins_ref, winf_ref, coeffs_lon_ref,
         lambda slot: scalars_ref[0, slot],
         coeffs_lon_ref[:], coeffs_lat_ref[:], traj_len_ref[:],
         goal_valid_ref[:], None, None, None,
-        obs_ref, lambda m, col: obs_ref[m, :, col:col + 1],
+        obs_ref,
+        lambda m, col: obs_ref[:, m * _OBS_COLS + col:m * _OBS_COLS + col + 1],
         lambda m, col: poly_ref[m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
         n_poly_verts=n_poly_verts,
@@ -463,7 +465,9 @@ def _fleet_scoring_kernel(scalars_ref, coeffs_lon_ref, coeffs_lat_ref,
         lambda slot: scalars_ref[0, 0, slot],
         coeffs_lon_ref[0], coeffs_lat_ref[0], traj_len_ref[0],
         goal_valid_ref[0], table_ref[0], pair_ref[0], band_ref[0],
-        obs_ref, lambda m, col: obs_ref[0, m, :, col:col + 1],
+        obs_ref,
+        lambda m, col: obs_ref[0][:, m * _OBS_COLS + col:
+                                 m * _OBS_COLS + col + 1],
         lambda m, col: poly_ref[0, m, :, col:col + 1],
         n_steps=n_steps, n_obstacles=n_obstacles, n_polys=n_polys,
         n_poly_verts=n_poly_verts,
@@ -1079,8 +1083,13 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
              obstacles.valid.astype(dtype)[..., None],
              jnp.broadcast_to(radius.astype(dtype)[:, None, None],
                               (M, T, 1))], axis=-1)                # [M, T, 7]
+        # sublane-major 2-D layout [T, M*7]: in-kernel column reads become
+        # clean [T, 1] lane slices — the 3-D [M, T, 7] minor-dim-7 slicing
+        # relayouts measured 69 us/launch for ONE obstacle at T=61
+        # (hardware ablation 2026-08-21)
+        obs = jnp.transpose(obs, (1, 0, 2)).reshape(T, M * _OBS_COLS)
     else:
-        obs = jnp.zeros((1, T, _OBS_COLS), dtype)
+        obs = jnp.zeros((T, _OBS_COLS), dtype)
 
     # polygon group: [Mp, T, 2V + 1] interleaved world vertex coords + valid
     if obstacles.poly_verts is not None:
@@ -1154,7 +1163,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((6, Pw), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
+                pl.BlockSpec((T, max(M, 1) * _OBS_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1217,7 +1226,7 @@ def _score_candidates_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((P, 6), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((max(M, 1), T, _OBS_COLS), lambda i: (0, 0, 0),
+                pl.BlockSpec((T, max(M, 1) * _OBS_COLS), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((max(Mp, 1), T, poly_cols), lambda i: (0, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -1426,8 +1435,11 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
              obs_valid.astype(dtype)[..., None],
              jnp.broadcast_to(obs_radius.astype(dtype)[:, :, None, None],
                               (F, M, T, 1))], axis=-1)           # [F, M, T, 7]
+        # sublane-major per-problem layout [F, T, M*7] (see the
+        # single-problem prelude)
+        obs = jnp.transpose(obs, (0, 2, 1, 3)).reshape(F, T, M * _OBS_COLS)
     else:
-        obs = jnp.zeros((F, 1, T, _OBS_COLS), dtype)
+        obs = jnp.zeros((F, T, _OBS_COLS), dtype)
 
     scalars = jnp.zeros((F, 1, _NUM_SCALARS), dtype)
     veh_stack = veh_stack.astype(dtype)
@@ -1491,8 +1503,8 @@ def _score_fleet_pallas(coeffs_lon: jnp.ndarray, coeffs_lat: jnp.ndarray,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 6, Pw), lambda f, i: (f, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, max(M, 1), T, _OBS_COLS),
-                             lambda f, i: (f, 0, 0, 0),
+                pl.BlockSpec((1, T, max(M, 1) * _OBS_COLS),
+                             lambda f, i: (f, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, max(Mp, 1), T, poly.shape[-1]),
                              lambda f, i: (f, 0, 0, 0),
