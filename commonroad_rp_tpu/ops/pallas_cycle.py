@@ -870,11 +870,16 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
             delta_blk = perstep.band_sh(i0, ws_k)           # [ws, 6]
             base_lo = perstep.win_f(1, k)
             base_hi = perstep.win_f(2, k)
+            # offset-major batching: THREE [C, TILE] slices (one per probe
+            # offset) instead of 3C per-(step, offset) row concats — the
+            # dot's columns are independent, so only the column->(c, off)
+            # mapping below changes (bit-identical per column)
+            sc = s_center[c0:cN, :]
+            le = lon_ext[c0:cN, :]
             q3 = jnp.concatenate(
-                [jnp.clip(s_center[c:c + 1, :] + off * lon_ext[c:c + 1, :],
-                          0.0, ref_s_last)
-                 for c in range(c0, cN) for off in (-1.0, 0.0, 1.0)],
-                axis=0)                                     # [3C, TILE]
+                [jnp.clip(sc - le, 0.0, ref_s_last),
+                 jnp.clip(sc, 0.0, ref_s_last),
+                 jnp.clip(sc + le, 0.0, ref_s_last)], axis=0)   # [3C, TILE]
             q_w = q3.reshape(1, 3 * C * TILE)
             step_m = (s_nx <= q_w).astype(jnp.bfloat16)     # [ws, 3C*TILE]
             if "probe_dot" in _ABLATE:                      # timing ablation
@@ -890,7 +895,7 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
                 band_hi_w = base_hi + ((wide[3:4, :] + wide[4:5, :])
                                        + wide[5:6, :])
             for i in range(3 * C):
-                c = c0 + i // 3
+                c = c0 + i % C                   # offset-major q3 layout
                 band_lo = band_lo_w[:, i * TILE:(i + 1) * TILE]
                 band_hi = band_hi_w[:, i * TILE:(i + 1) * TILE]
                 collides = collides | ((d_plus[c:c + 1, :] > band_hi)
