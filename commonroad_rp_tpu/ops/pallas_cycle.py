@@ -683,13 +683,29 @@ def _scoring_body(scal, c_lon_full, c_lat_full, traj_len_row,
     if "hold" in _ABLATE:                                   # timing ablation
         theta_gl = theta_gl_move
     else:
-        rows = []
-        hold = jnp.full((1, TILE), x0_theta, jnp.float32)
-        for c in range(T):
-            hold = jnp.where(use_move[c:c + 1, :], theta_gl_move[c:c + 1, :],
-                             hold)
-            rows.append(hold)
-        theta_gl = jnp.concatenate(rows, axis=0)
+        # standstill hold = rightmost-valid inclusive scan over the step
+        # axis: theta_gl[c] is theta_gl_move at the last moving step <= c,
+        # else x0_theta.  Log-shift selection network (ceil(log2 T) passes
+        # of [T, TILE] selects) replaces the T-step serial loop of [1, TILE]
+        # wheres (27 us/launch at T=61, hardware ablation 2026-08-21).
+        # Pure selects propagating exact theta_gl_move values — the result
+        # is structurally identical to the serial loop.
+        hv = jnp.where(use_move, theta_gl_move,
+                       jnp.full((T, TILE), x0_theta, jnp.float32))
+        # flag carried as f32 0/1: Mosaic has no lowering for bool-mask
+        # concat with a misaligned sublane slice ("invalid vector register
+        # cast"); float concat + a > 0.5 compare lowers fine
+        hf = use_move.astype(jnp.float32)
+        sh = 1
+        while sh < T:
+            pad_v = jnp.full((sh, TILE), x0_theta, jnp.float32)
+            pad_f = jnp.zeros((sh, TILE), jnp.float32)
+            prev_v = jnp.concatenate([pad_v, hv[:T - sh]], axis=0)
+            prev_f = jnp.concatenate([pad_f, hf[:T - sh]], axis=0)
+            hv = jnp.where(hf > 0.5, hv, prev_v)
+            hf = jnp.maximum(hf, prev_f)
+            sh *= 2
+        theta_gl = hv
     theta_cl = jnp.where(use_move, theta_cl_move, theta_gl - interp_theta)
 
     if "werling" in _ABLATE:                                # timing ablation
